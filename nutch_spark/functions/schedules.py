@@ -1,0 +1,153 @@
+"""Fetch schedules as Catalyst column expressions.
+
+Pure scalar state-transition functions from the reference, re-expressed
+as when/otherwise column programs so the updatedb stage stays fully
+JVM-side (whole-stage codegen — no Python in the hot path):
+
+  * shouldFetch / clamp      — AbstractFetchSchedule.java:183-197
+  * setFetchSchedule Default — DefaultFetchSchedule.java:33-45
+  * setFetchSchedule Adaptive— AdaptiveFetchSchedule.java:96-144
+  * setPageGoneSchedule      — AbstractFetchSchedule.java:107-117
+  * setPageRetrySchedule     — AbstractFetchSchedule.java:144-149
+  * forceRefetch             — AbstractFetchSchedule.java:214-225
+
+Each helper returns a dict of named Columns {fetch_interval, fetch_time,
+modified_time, retries} that the caller merges into its select.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..constants import Defaults, META_FIXED_INTERVAL_KEY
+
+STATE_MODIFIED = "modified"
+STATE_NOTMODIFIED = "notmodified"
+STATE_UNKNOWN = "unknown"
+
+SECONDS_PER_DAY = 86_400
+
+
+def should_fetch(fetch_time: Column, fetch_interval: Column, cur_time_ms: int,
+                 max_interval: int = Defaults.FETCH_INTERVAL_MAX) -> Column:
+    """Due-for-fetch predicate with the too-remote clamp.
+
+    The clamp branch (fetchTime − curTime > maxInterval·1000 ⇒ due now)
+    is folded into the predicate; the interval adjustment happens in
+    `clamped_interval` for rows selected via this branch.
+    """
+    too_remote = (fetch_time - F.lit(cur_time_ms)) > F.lit(int(max_interval) * 1000)
+    return too_remote | (fetch_time <= F.lit(cur_time_ms))
+
+
+def clamped_interval(fetch_time: Column, fetch_interval: Column, cur_time_ms: int,
+                     max_interval: int = Defaults.FETCH_INTERVAL_MAX) -> Column:
+    too_remote = (fetch_time - F.lit(cur_time_ms)) > F.lit(int(max_interval) * 1000)
+    return F.when(
+        too_remote & (fetch_interval > F.lit(max_interval)),
+        (F.lit(max_interval) * 0.9).cast("int"),
+    ).otherwise(fetch_interval)
+
+
+def set_fetch_schedule_default(
+    fetch_interval: Column,
+    fetch_time_ms: Column,
+    modified_time_ms: Column,
+) -> dict[str, Column]:
+    interval = F.when(fetch_interval == 0, F.lit(Defaults.FETCH_INTERVAL)).otherwise(
+        fetch_interval
+    )
+    return {
+        "fetch_interval": interval.cast("int"),
+        "fetch_time": (fetch_time_ms + interval.cast("long") * 1000).cast("long"),
+        "modified_time": modified_time_ms.cast("long"),
+        "retries": F.lit(0),
+    }
+
+
+def set_fetch_schedule_adaptive(
+    fetch_interval: Column,
+    fetch_time_ms: Column,
+    modified_time_ms: Column,
+    state: Column,
+    metadata: Column,
+    inc_rate: float = Defaults.ADAPTIVE_INC_RATE,
+    dec_rate: float = Defaults.ADAPTIVE_DEC_RATE,
+    min_interval: float = Defaults.ADAPTIVE_MIN_INTERVAL,
+    max_interval: float = Defaults.ADAPTIVE_MAX_INTERVAL,
+    sync_delta: bool = Defaults.ADAPTIVE_SYNC_DELTA,
+    sync_delta_rate: float = Defaults.ADAPTIVE_SYNC_DELTA_RATE,
+) -> dict[str, Column]:
+    interval0 = (
+        F.when(fetch_interval == 0, F.lit(Defaults.FETCH_INTERVAL))
+        .otherwise(fetch_interval)
+        .cast("float")
+    )
+    fixed = F.element_at(
+        F.coalesce(metadata, F.create_map().cast("map<string,string>")),
+        META_FIXED_INTERVAL_KEY,
+    ).cast("float")
+
+    mod_time = F.when(modified_time_ms <= 0, fetch_time_ms).otherwise(modified_time_ms)
+    interval1 = (
+        F.when(state == STATE_MODIFIED, interval0 * (1.0 - dec_rate))
+        .when(state == STATE_NOTMODIFIED, interval0 * (1.0 + inc_rate))
+        .otherwise(interval0)
+    )
+    if sync_delta:
+        delta = ((fetch_time_ms - mod_time) / 1000).cast("long")
+        interval2 = F.when(delta > interval1, delta.cast("float")).otherwise(interval1)
+        ref_time = fetch_time_ms - F.round(delta * sync_delta_rate * 1000).cast("long")
+    else:
+        interval2 = interval1
+        ref_time = fetch_time_ms
+    interval3 = F.greatest(
+        F.lit(float(min_interval)), F.least(F.lit(float(max_interval)), interval2)
+    )
+
+    final_interval = F.when(fixed.isNotNull(), fixed).otherwise(interval3)
+    final_ref = F.when(fixed.isNotNull(), fetch_time_ms).otherwise(ref_time)
+    final_mod = F.when(fixed.isNotNull(), modified_time_ms).otherwise(mod_time)
+    return {
+        "fetch_interval": final_interval.cast("int"),
+        "fetch_time": (final_ref + F.round(final_interval * 1000.0).cast("long")).cast(
+            "long"
+        ),
+        "modified_time": final_mod.cast("long"),
+        "retries": F.lit(0),
+    }
+
+
+def set_page_gone_schedule(
+    fetch_interval: Column,
+    fetch_time_ms: Column,
+    max_interval: int = Defaults.FETCH_INTERVAL_MAX,
+) -> dict[str, Column]:
+    grown = F.when(
+        fetch_interval.cast("float") * 1.5 < F.lit(float(max_interval)),
+        fetch_interval.cast("float") * 1.5,
+    ).otherwise(F.lit(max_interval * 0.9))
+    return {
+        "fetch_interval": grown.cast("int"),
+        "fetch_time": (fetch_time_ms + grown.cast("long") * 1000).cast("long"),
+    }
+
+
+def set_page_retry_schedule(
+    retries: Column, fetch_time_ms: Column
+) -> dict[str, Column]:
+    return {
+        "fetch_time": (fetch_time_ms + F.lit(SECONDS_PER_DAY * 1000)).cast("long"),
+        "retries": (retries + 1).cast("int"),
+    }
+
+
+def force_refetch_interval(
+    fetch_interval: Column, max_interval: int = Defaults.FETCH_INTERVAL_MAX
+) -> Column:
+    return (
+        F.when(fetch_interval > F.lit(max_interval), F.lit(max_interval * 0.9))
+        .otherwise(fetch_interval)
+        .cast("int")
+    )

@@ -1,0 +1,230 @@
+"""URL canonicalization, filtering and host/domain extraction.
+
+Reimplements (from public Apache Nutch semantics, not code):
+  - BasicURLNormalizer (reference
+    src/plugin/urlnormalizer-basic/.../BasicURLNormalizer.java:91-267):
+    lowercase scheme+host, strip default port, drop #fragment, empty
+    path → "/", resolve "/./", "/../", "//", RFC3986 percent-encoding
+    canonicalization (unescape unreserved chars, uppercase retained
+    escapes, escape control chars and [ ]).
+  - RegexURLFilter default rules (reference
+    conf/regex-urlfilter.txt.template): reject file:/ftp:/mailto:,
+    media/binary extensions, URLs containing [?*!@=], repeated path
+    segments (loop traps).
+  - URLUtil host/domain helpers (reference util/URLUtil.java:94-128).
+
+All exposed as **vectorized pandas UDFs** (Arrow-batched) per the
+input_hint "no per-row Python" requirement — the per-element work runs
+inside one Arrow batch in a tight Python loop with a fast-path mask, not
+as row-at-a-time Spark UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlsplit
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21}
+
+# RFC3986 unreserved: ALPHA / DIGIT / - . _ ~
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+_NORMALIZABLE_PATH_RE = re.compile(r"/[./]|[.]/|/\Z|//")
+# fast-path: URL already canonical if it matches this shape and has no
+# percent-escapes, dots segments, fragments, upper-case scheme/host
+_FAST_OK_RE = re.compile(r"\Ahttps?://[a-z0-9.\-]+(?::\d+)?/[^#%\\\s]*\Z")
+_FAST_BAD_RE = re.compile(r"/\.|//|\.\./|:80/|:443/")
+
+
+def _pct_canon(path: str) -> str:
+    """Unescape unreserved %XX, uppercase retained escapes, escape ctl/[/]."""
+
+    def repl(m: re.Match) -> str:
+        code = int(m.group(1), 16)
+        if code < 128 and chr(code) in _UNRESERVED:
+            return chr(code)
+        return "%" + m.group(1).upper()
+
+    path = _PCT_RE.sub(repl, path)
+    out = []
+    for b in path.encode("utf-8"):
+        if b < 33 or b in (0x5B, 0x5D):  # control/space and [ ]
+            out.append("%%%02X" % b)
+        else:
+            out.append(chr(b))
+    return "".join(out)
+
+
+def _resolve_dots(path: str) -> str:
+    """RFC3986 §5.2.4 remove_dot_segments + collapse '//'."""
+    segs: list[str] = []
+    for seg in path.split("/"):
+        if seg == "" or seg == ".":
+            continue
+        if seg == "..":
+            if segs:
+                segs.pop()
+            # leading /../ dropped (BasicURLNormalizer behavior)
+            continue
+        segs.append(seg)
+    out = "/" + "/".join(segs)
+    if path.endswith(("/", "/.", "/..")) and out != "/":
+        out += "/"
+    return out
+
+
+def normalize_url(u: str) -> str | None:
+    """Canonicalize one URL; None if unparseable. Pure function."""
+    if u is None:
+        return None
+    u = u.strip()
+    if u == "":
+        return u
+    if _FAST_OK_RE.match(u) and not _FAST_BAD_RE.search(u):
+        return u
+    try:
+        parts = urlsplit(u)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if not scheme or parts.hostname is None:
+        return None
+    host = parts.hostname.lower()
+    port = None
+    try:
+        port = parts.port
+    except ValueError:
+        return None
+    netloc = host
+    if port is not None and port != DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    path = parts.path or "/"
+    if scheme in ("http", "https", "ftp"):
+        if _NORMALIZABLE_PATH_RE.search(path):
+            path = _resolve_dots(path)
+        if path == "":
+            path = "/"
+    path = _pct_canon(path)
+    query = parts.query
+    rebuilt = f"{scheme}://{netloc}{path}"
+    if query:
+        rebuilt += f"?{query}"
+    return rebuilt  # fragment always dropped
+
+
+def _norm_series(s: pd.Series) -> pd.Series:
+    # fast-path mask: most crawl URLs are already canonical
+    fast = s.str.match(_FAST_OK_RE, na=False) & ~s.str.contains(
+        _FAST_BAD_RE, na=True, regex=True
+    )
+    out = s.copy()
+    slow_idx = s.index[~fast]
+    if len(slow_idx):
+        out.loc[slow_idx] = [normalize_url(v) for v in s.loc[slow_idx]]
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def normalize_urls(s: pd.Series) -> pd.Series:
+    return _norm_series(s)
+
+
+# --- filters (regex-urlfilter.txt.template defaults) ---
+_SKIP_PROTO_RE = re.compile(r"\A(?:file|ftp|mailto):", re.IGNORECASE)
+_SKIP_EXT_RE = re.compile(
+    r"\.(?:gif|jpg|jpeg|png|ico|css|sit|eps|wmf|zip|ppt|mpg|xls|gz|rpm|tgz|"
+    r"mov|exe|jpeg|bmp|js)\Z",
+    re.IGNORECASE,
+)
+_SKIP_QUERYCHARS_RE = re.compile(r"[?*!@=]")
+_LOOP_RE = re.compile(r".*(/[^/]+)/[^/]+\1/[^/]+\1/")
+
+
+def accept_url(u: str) -> bool:
+    """Default Nutch regex-urlfilter decision for one URL."""
+    if u is None or u == "":
+        return False
+    if _SKIP_PROTO_RE.match(u):
+        return False
+    if _SKIP_QUERYCHARS_RE.search(u):
+        return False
+    if _SKIP_EXT_RE.search(u):
+        return False
+    if _LOOP_RE.match(u):
+        return False
+    return True
+
+
+@F.pandas_udf(T.BooleanType())
+def accept_urls(s: pd.Series) -> pd.Series:
+    ok = s.notna() & (s != "")
+    ok &= ~s.str.match(_SKIP_PROTO_RE, na=True)
+    ok &= ~s.str.contains(_SKIP_QUERYCHARS_RE, na=True, regex=True)
+    ok &= ~s.str.contains(_SKIP_EXT_RE, na=True, regex=True)
+    ok &= ~s.str.match(_LOOP_RE, na=True)
+    return ok
+
+
+# --- host / domain extraction (URLUtil.java:94-128) ---
+_HOST_RE = re.compile(r"\A[a-z][a-z0-9+.\-]*://([^/:?#]+)", re.IGNORECASE)
+
+# minimal public-suffix table for registered-domain extraction; a full
+# suffix list would be broadcast the same way at production scale
+_TWO_LEVEL_SUFFIXES = {
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz", "co.za",
+}
+
+
+def get_host(u: str) -> str | None:
+    if u is None:
+        return None
+    m = _HOST_RE.match(u)
+    if not m:
+        return None
+    host = m.group(1).lower()
+    if "@" in host:
+        host = host.rsplit("@", 1)[1]
+    return host
+
+
+def get_domain(host: str) -> str | None:
+    """Registered domain via suffix table (URLUtil.getDomainName semantics)."""
+    if host is None:
+        return None
+    parts = host.split(".")
+    if len(parts) <= 2:
+        return host
+    if ".".join(parts[-2:]) in _TWO_LEVEL_SUFFIXES or ".".join(parts[-3:-1]) in _TWO_LEVEL_SUFFIXES:
+        # e.g. a.b.co.uk → b.co.uk
+        if ".".join(parts[-2:]) in _TWO_LEVEL_SUFFIXES:
+            return ".".join(parts[-3:])
+    return ".".join(parts[-2:])
+
+
+@F.pandas_udf(T.StringType())
+def host_of(s: pd.Series) -> pd.Series:
+    ext = s.str.extract(_HOST_RE, expand=False).str.lower()
+    return ext.str.rsplit("@", n=1).str[-1]
+
+
+@F.pandas_udf(T.StringType())
+def domain_of(hosts: pd.Series) -> pd.Series:
+    return pd.Series([get_domain(h) for h in hosts], index=hosts.index)
+
+
+def url_hash_col(url_col):
+    """64-bit URL hash — JVM-side xxhash64, the bloom/ordering key.
+
+    The reference shuffles fetch order inside a host partition by URL
+    hash (Generator.HashComparator, Generator.java:399-429); we use the
+    same hash as the bloom key and the intra-host fetch order.
+    """
+    return F.xxhash64(url_col)

@@ -1,0 +1,386 @@
+"""UpdateDb — merge fetch/parse results back into the frontier.
+
+Re-expresses the reference CrawlDbReducer state machine
+(crawl/CrawlDbReducer.java:64-322) as ONE declarative DataFrame program:
+
+  frontier ⟗ latest-fetch ⟗ link-aggregates ⟗ signatures  (full outer on url)
+  → when/otherwise column program (whole-stage codegen, no Python)
+
+Exact semantics carried over:
+  * latest fetch datum per URL wins by fetch_time (CrawlDbReducer.java:99-113);
+  * linked contributions capped at db.update.max.inlinks=10000 top-by-score
+    (InlinkPriorityQueue, CrawlDbReducer.java:57-58, 326-339) and consumed
+    as Σ score by OPIC updateDbScore (OPICScoringFilter.java:95-105);
+  * a lone link acts as the fetch datum (CrawlDbReducer.java:150-153):
+    old row passes through (score-adjusted), new URL initialized as
+    db_unfetched with score = Σ link contributions (initialScore=0 +
+    adjust — OPICScoringFilter.java:83-86);
+  * no new data → old row passes through UNCHANGED, including the
+    generate-time marker (the early return at CrawlDbReducer.java:156-165);
+  * signature compare decides modified/notmodified for fetch_success only
+    — redirects are never signature-compared (NUTCH-1422,
+    CrawlDbReducer.java:223-233); notmodified resets modifiedTime to the
+    previous value and keeps the old signature (NUTCH-1341,
+    CrawlDbReducer.java:239-247);
+  * fetch schedules (default|adaptive) applied as column expressions
+    (functions/schedules.py); retry → db_unfetched until retryMax then
+    db_gone + gone schedule (CrawlDbReducer.java:282-295); gone → 1.5×
+    interval growth (AbstractFetchSchedule.java:107-117);
+  * fetchInterval > db.fetch.interval.max ⇒ forceRefetch(asap=false)
+    (CrawlDbReducer.java:274-276, AbstractFetchSchedule.java:214-225);
+  * metadata: old overlaid by fetch, generate-time marker stripped from
+    every updated row (CrawlDbReducer.java:174-186, 318);
+  * additionsAllowed=false drops never-seen URLs (CrawlDbReducer.java:145-147).
+
+Scale: the three small sides aggregate BEFORE the join (map-side partial
+aggs), the big frontier side joins once on url. AQE skew-join splits hot
+URL-hash partitions; `repartition_on` lets the caller pre-shuffle on a
+salted host-hash to co-locate with the frontier table's bucketing
+(north_rule explicit skew handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..constants import (
+    Defaults,
+    META_GENERATE_TIME,
+    STATUS_DB_GONE,
+    STATUS_DB_NOTMODIFIED,
+    STATUS_DB_REDIR_PERM,
+    STATUS_DB_REDIR_TEMP,
+    STATUS_DB_FETCHED,
+    STATUS_DB_UNFETCHED,
+    STATUS_FETCH_GONE,
+    STATUS_FETCH_NOTMODIFIED,
+    STATUS_FETCH_REDIR_PERM,
+    STATUS_FETCH_REDIR_TEMP,
+    STATUS_FETCH_RETRY,
+    STATUS_FETCH_SUCCESS,
+    STATUS_LINKED,
+    STATUS_SIGNATURE,
+)
+from ..functions import schedules as sched
+from ..functions.urls import host_of, url_hash_col
+from ..schema import FRONTIER
+
+def _empty_meta():
+    return F.create_map().cast("map<string,string>")
+
+
+def updatedb(
+    spark,
+    frontier: DataFrame | None,
+    fetch_results: DataFrame | None,
+    crawl_parse: DataFrame | None,
+    cur_time_ms: int,
+    schedule: str = "default",  # default | adaptive
+    retry_max: int = Defaults.RETRY_MAX,
+    max_interval: int = Defaults.FETCH_INTERVAL_MAX,
+    max_inlinks: int = Defaults.MAX_INLINKS,
+    additions_allowed: bool = True,
+    purge_404: bool = False,
+    repartition_on: int | None = None,
+) -> DataFrame:
+    if frontier is None:
+        frontier = spark.createDataFrame([], FRONTIER)
+    if purge_404:
+        frontier = frontier.filter(F.col("status") != STATUS_DB_GONE)
+
+    old = frontier.select(
+        F.col("url"),
+        F.struct(*[F.col(c) for c in frontier.columns if c != "url"]).alias("o"),
+    )
+
+    # --- latest fetch per url (CrawlDbReducer.java:99-113) ---
+    if fetch_results is not None:
+        w = Window.partitionBy("url").orderBy(
+            F.desc("fetch_time"), F.desc("status")
+        )
+        fetch = (
+            fetch_results.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("url"),
+                F.struct(
+                    F.col("status"),
+                    F.col("fetch_time"),
+                    F.col("retries"),
+                    F.col("fetch_interval"),
+                    F.col("score"),
+                    F.col("prev_modified_time").alias("modified_time"),
+                    F.col("metadata"),
+                ).alias("f"),
+            )
+        )
+    else:
+        fetch = None
+
+    # --- link aggregates + signatures from crawl_parse ---
+    links = sigs = None
+    if crawl_parse is not None:
+        lk = crawl_parse.filter(F.col("status") == STATUS_LINKED)
+        wl = Window.partitionBy("url").orderBy(
+            F.desc("score"), F.asc("from_url"), F.asc("anchor")
+        )
+        links = (
+            lk.withColumn("_r", F.row_number().over(wl))
+            .filter(F.col("_r") <= max_inlinks)
+            .groupBy("url")
+            .agg(
+                F.sum("score").cast("float").alias("link_adjust"),
+                F.count("*").alias("link_count"),
+            )
+        )
+        sigs = (
+            crawl_parse.filter(F.col("status") == STATUS_SIGNATURE)
+            .groupBy("url")
+            .agg(F.max("signature").alias("parse_signature"))
+        )
+
+    j = old
+    j = j.join(fetch, "url", "full_outer") if fetch is not None else j.withColumn(
+        "f", F.lit(None).cast("struct<status:int,fetch_time:bigint,retries:int,fetch_interval:int,score:float,modified_time:bigint,metadata:map<string,string>>")
+    )
+    if links is not None:
+        j = j.join(links, "url", "full_outer")
+    else:
+        j = j.withColumn("link_adjust", F.lit(None).cast("float")).withColumn(
+            "link_count", F.lit(None).cast("long")
+        )
+    if sigs is not None:
+        j = j.join(sigs, "url", "left_outer")
+    else:
+        j = j.withColumn("parse_signature", F.lit(None).cast("string"))
+    if repartition_on:
+        j = j.repartition(repartition_on, "url")
+
+    old_set = F.col("o").isNotNull()
+    fetch_set = F.col("f").isNotNull()
+    has_links = F.coalesce(F.col("link_count"), F.lit(0)) > 0
+    adjust = F.coalesce(F.col("link_adjust"), F.lit(0.0)).cast("float")
+
+    # effective fetch status: real fetch, else a lone link acts as fetch
+    eff = F.when(fetch_set, F.col("f.status")).when(
+        has_links, F.lit(STATUS_LINKED)
+    )
+
+    prev_modified = F.when(old_set, F.col("o.modified_time")).otherwise(F.lit(0))
+    prev_fetch_time = F.when(old_set, F.col("o.fetch_time")).otherwise(F.lit(0))
+    signature = F.coalesce(F.col("parse_signature"))  # fetch datum carries none
+    f_fetch_time = F.col("f.fetch_time")
+    f_modified = F.col("f.modified_time")
+
+    # result seed = fetch datum, modifiedTime backfilled from old
+    seed_interval = F.col("f.fetch_interval")
+    seed_retries = F.col("f.retries")
+    seed_score = F.col("f.score")
+    seed_modified = F.when(
+        old_set & (F.col("o.modified_time") > 0) & (F.coalesce(f_modified, F.lit(0)) == 0),
+        F.col("o.modified_time"),
+    ).otherwise(F.coalesce(f_modified, F.lit(0)))
+    seed_meta = F.when(
+        old_set,
+        F.map_concat(
+            F.map_filter(
+                F.coalesce(F.col("o.metadata"), _empty_meta()),
+                lambda k, _v: ~F.map_contains_key(
+                    F.coalesce(F.col("f.metadata"), _empty_meta()), k
+                ),
+            ),
+            F.coalesce(F.col("f.metadata"), _empty_meta()),
+        ),
+    ).otherwise(F.coalesce(F.col("f.metadata"), _empty_meta()))
+
+    # --- modification state (success only; NUTCH-1422) ---
+    is_success_family = eff.isin(
+        STATUS_FETCH_SUCCESS,
+        STATUS_FETCH_REDIR_TEMP,
+        STATUS_FETCH_REDIR_PERM,
+        STATUS_FETCH_NOTMODIFIED,
+    )
+    state = (
+        F.when(eff == STATUS_FETCH_NOTMODIFIED, F.lit(sched.STATE_NOTMODIFIED))
+        .when(
+            (eff == STATUS_FETCH_SUCCESS)
+            & old_set
+            & F.col("o.signature").isNotNull()
+            & signature.isNotNull(),
+            F.when(
+                F.col("o.signature") != signature, F.lit(sched.STATE_MODIFIED)
+            ).otherwise(F.lit(sched.STATE_NOTMODIFIED)),
+        )
+        .otherwise(F.lit(sched.STATE_UNKNOWN))
+    )
+
+    # --- schedule application for the success family ---
+    if schedule == "adaptive":
+        sch = sched.set_fetch_schedule_adaptive(
+            seed_interval, f_fetch_time, f_modified, state, seed_meta
+        )
+    else:
+        sch = sched.set_fetch_schedule_default(
+            seed_interval, f_fetch_time, seed_modified
+        )
+
+    notmod = state == sched.STATE_NOTMODIFIED
+    succ_status = (
+        F.when(notmod, F.lit(STATUS_DB_NOTMODIFIED))
+        .when(eff == STATUS_FETCH_SUCCESS, F.lit(STATUS_DB_FETCHED))
+        .when(eff == STATUS_FETCH_REDIR_PERM, F.lit(STATUS_DB_REDIR_PERM))
+        .when(eff == STATUS_FETCH_REDIR_TEMP, F.lit(STATUS_DB_REDIR_TEMP))
+    )
+    succ_signature = F.when(
+        notmod, F.when(old_set, F.col("o.signature"))
+    ).otherwise(signature)
+    succ_modified = F.when(notmod, prev_modified).otherwise(sch["modified_time"])
+
+    # forceRefetch(asap=false) when interval exceeds the max
+    force = sch["fetch_interval"] > F.lit(max_interval)
+    succ_status = F.when(force, F.lit(STATUS_DB_UNFETCHED)).otherwise(succ_status)
+    succ_interval = F.when(
+        force, sched.force_refetch_interval(sch["fetch_interval"], max_interval)
+    ).otherwise(sch["fetch_interval"])
+    succ_signature = F.when(force, F.lit(None).cast("string")).otherwise(succ_signature)
+    succ_modified = F.when(force, F.lit(0)).otherwise(succ_modified)
+    succ_retries = F.when(force, F.lit(0)).otherwise(sch["retries"])
+
+    # --- retry branch (CrawlDbReducer.java:282-295) ---
+    retry_sched = sched.set_page_retry_schedule(seed_retries, f_fetch_time)
+    new_retries = retry_sched["retries"]
+    retry_exceeded = new_retries >= F.lit(retry_max)
+    gone_after_retry = sched.set_page_gone_schedule(seed_interval, f_fetch_time, max_interval)
+    retry_status = F.when(retry_exceeded, F.lit(STATUS_DB_GONE)).otherwise(
+        F.lit(STATUS_DB_UNFETCHED)
+    )
+    retry_fetch_time = F.when(
+        retry_exceeded, gone_after_retry["fetch_time"]
+    ).otherwise(retry_sched["fetch_time"])
+    retry_interval = F.when(
+        retry_exceeded, gone_after_retry["fetch_interval"]
+    ).otherwise(seed_interval)
+
+    # --- gone branch ---
+    gone_sched = sched.set_page_gone_schedule(seed_interval, f_fetch_time, max_interval)
+
+    # --- linked-only branch ---
+    linked_new_status = F.lit(STATUS_DB_UNFETCHED)
+
+    is_linked = eff == STATUS_LINKED
+    is_retry = eff == STATUS_FETCH_RETRY
+    is_gone = eff == STATUS_FETCH_GONE
+
+    def branch(success_col, retry_col, gone_col, linked_old_col, linked_new_col, seed_col):
+        return (
+            F.when(is_linked & old_set, linked_old_col)
+            .when(is_linked, linked_new_col)
+            .when(is_success_family, success_col)
+            .when(is_retry, retry_col)
+            .when(is_gone, gone_col)
+            .otherwise(seed_col)
+        )
+
+    out_status = branch(
+        succ_status, retry_status, F.lit(STATUS_DB_GONE), F.col("o.status"), linked_new_status, F.col("f.status")
+    )
+    out_fetch_time = branch(
+        sch["fetch_time"],
+        retry_fetch_time,
+        gone_sched["fetch_time"],
+        F.col("o.fetch_time"),
+        F.lit(cur_time_ms),
+        f_fetch_time,
+    )
+    out_interval = branch(
+        succ_interval,
+        retry_interval,
+        gone_sched["fetch_interval"],
+        F.col("o.fetch_interval"),
+        F.lit(Defaults.FETCH_INTERVAL),
+        seed_interval,
+    )
+    out_retries = branch(
+        succ_retries, new_retries, seed_retries, F.col("o.retries"), F.lit(0), seed_retries
+    )
+    out_signature = branch(
+        succ_signature,
+        F.when(old_set, F.col("o.signature")),
+        F.when(old_set, F.col("o.signature")),
+        F.col("o.signature"),
+        F.lit(None).cast("string"),
+        F.lit(None).cast("string"),
+    )
+    out_modified = branch(
+        succ_modified,
+        seed_modified,
+        seed_modified,
+        F.col("o.modified_time"),
+        F.lit(0),
+        seed_modified,
+    )
+    out_meta = branch(
+        seed_meta, seed_meta, seed_meta, F.coalesce(F.col("o.metadata"), _empty_meta()), _empty_meta(), seed_meta
+    )
+
+    # OPIC updateDbScore: score = (old | result).score + Σ link contributions
+    base_score = (
+        F.when(is_linked & old_set, F.col("o.score"))
+        .when(is_linked, F.lit(0.0))  # initialScore for new linked URLs
+        .when(old_set, F.col("o.score"))
+        .otherwise(F.coalesce(seed_score, F.lit(0.0)))
+    )
+    out_score = (base_score + adjust).cast("float")
+
+    # strip generate-time marker from every updated row
+    out_meta = F.map_filter(out_meta, lambda k, _v: k != META_GENERATE_TIME)
+
+    has_new_data = fetch_set | has_links
+    updated = F.struct(
+        out_status.cast("int").alias("status"),
+        out_fetch_time.cast("long").alias("fetch_time"),
+        out_retries.cast("int").alias("retries"),
+        out_interval.cast("int").alias("fetch_interval"),
+        out_score.alias("score"),
+        out_signature.alias("signature"),
+        out_modified.cast("long").alias("modified_time"),
+        out_meta.alias("metadata"),
+    )
+    # passthrough keeps the old row byte-for-byte (incl. _ngt_ marker)
+    passthrough = F.struct(
+        F.col("o.status").alias("status"),
+        F.col("o.fetch_time").alias("fetch_time"),
+        F.col("o.retries").alias("retries"),
+        F.col("o.fetch_interval").alias("fetch_interval"),
+        F.col("o.score").alias("score"),
+        F.col("o.signature").alias("signature"),
+        F.col("o.modified_time").alias("modified_time"),
+        F.coalesce(F.col("o.metadata"), _empty_meta()).alias("metadata"),
+    )
+    r = F.when(has_new_data, updated).otherwise(passthrough)
+
+    res = j.select(
+        "url",
+        F.coalesce(F.col("o.url_hash"), url_hash_col(F.col("url"))).alias("url_hash"),
+        F.coalesce(F.col("o.host"), host_of(F.col("url"))).alias("host"),
+        r.alias("r"),
+        old_set.alias("_old_set"),
+        (fetch_set | has_links | old_set).alias("_any"),
+    ).filter(F.col("_any"))
+    if not additions_allowed:
+        res = res.filter(F.col("_old_set"))
+
+    return res.select(
+        "url",
+        "url_hash",
+        "host",
+        F.col("r.status").alias("status"),
+        F.col("r.fetch_time").alias("fetch_time"),
+        F.col("r.retries").alias("retries"),
+        F.col("r.fetch_interval").alias("fetch_interval"),
+        F.col("r.score").alias("score"),
+        F.col("r.signature").alias("signature"),
+        F.col("r.modified_time").alias("modified_time"),
+        F.col("r.metadata").alias("metadata"),
+    )

@@ -1,0 +1,132 @@
+"""Snapshot table store — Iceberg semantics on plain parquet.
+
+The production design is an Iceberg table per dataset (`frontier`,
+`fetchlist`, `fetch_results`, `parsed`, `linkdb`, `metrics`) with atomic
+snapshot commits replacing the reference's directory-rename install
+(CrawlDb.java:158-176 swaps ``current/`` → ``old/`` under a lockfile).
+This container has no Iceberg jars, so `SnapshotStore` reproduces the
+three properties the engine relies on, on plain parquet:
+
+  1. **Atomic commit** — a write lands in a fresh ``snapshots/<n>/`` dir;
+     readers only see it after the one-line ``CURRENT`` pointer file is
+     atomically replaced (os.replace). Equivalent of an Iceberg snapshot
+     commit; the reference's ``.locked`` + rename dance (LockUtil.java).
+  2. **Time travel / rollback** — old snapshot dirs are retained;
+     `read(table, snapshot=k)` reads any retained snapshot (the
+     reference keeps one generation in ``old/``).
+  3. **Checkpoint manifest** — `commit_manifest` records per-cycle stage
+     completion for crash-resume (north_rule resumability), like Iceberg
+     snapshot metadata.
+
+On a real cluster swap `write` for
+``df.writeTo(table).overwritePartitions()`` — the API here is kept
+narrow so that swap is mechanical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---- paths ----
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "CURRENT")
+
+    def current_snapshot(self, table: str) -> int | None:
+        try:
+            with open(self._pointer(table)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def exists(self, table: str) -> bool:
+        return self.current_snapshot(table) is not None
+
+    def snapshot_path(self, table: str, snapshot: int) -> str:
+        return os.path.join(self._table_dir(table), "snapshots", str(snapshot))
+
+    # ---- read / write ----
+    def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> int:
+        """Write df as the next snapshot and atomically advance CURRENT.
+
+        Equivalent to Iceberg ``overwritePartitions`` / the reference's
+        CrawlDb.install() (CrawlDb.java:158-176), minus lockfiles.
+        """
+        cur = self.current_snapshot(table)
+        nxt = 0 if cur is None else cur + 1
+        path = self.snapshot_path(table, nxt)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        self._advance(table, nxt)
+        return nxt
+
+    def _advance(self, table: str, snapshot: int) -> None:
+        ptr = self._pointer(table)
+        os.makedirs(os.path.dirname(ptr), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(ptr))
+        with os.fdopen(fd, "w") as f:
+            f.write(str(snapshot))
+        os.replace(tmp, ptr)  # atomic pointer swap = snapshot commit
+
+    def read(self, spark: SparkSession, table: str, snapshot: int | None = None) -> DataFrame:
+        snap = self.current_snapshot(table) if snapshot is None else snapshot
+        if snap is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        return spark.read.parquet(self.snapshot_path(table, snap))
+
+    def rollback(self, table: str, snapshot: int) -> None:
+        if not os.path.isdir(self.snapshot_path(table, snapshot)):
+            raise FileNotFoundError(f"{table}@{snapshot} not retained")
+        self._advance(table, snapshot)
+
+    def expire_snapshots(self, table: str, keep: int = 2) -> None:
+        """Drop all but the newest `keep` snapshots (Iceberg expire_snapshots)."""
+        cur = self.current_snapshot(table)
+        if cur is None:
+            return
+        snaps_dir = os.path.join(self._table_dir(table), "snapshots")
+        for name in os.listdir(snaps_dir):
+            if name.isdigit() and int(name) <= cur - keep:
+                shutil.rmtree(os.path.join(snaps_dir, name), ignore_errors=True)
+
+    # ---- cycle manifest (checkpoint/resume) ----
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "MANIFEST.json")
+
+    def read_manifest(self) -> dict[str, Any]:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"cycles": {}}
+
+    def commit_manifest(self, manifest: dict[str, Any]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root)
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path())
+
+    def mark_stage(self, segment: str, stage: str, **extra: Any) -> None:
+        m = self.read_manifest()
+        cyc = m["cycles"].setdefault(segment, {})
+        cyc[stage] = {"done": True, **extra}
+        self.commit_manifest(m)
+
+    def stage_done(self, segment: str, stage: str) -> bool:
+        return bool(self.read_manifest()["cycles"].get(segment, {}).get(stage, {}).get("done"))

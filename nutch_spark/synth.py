@@ -1,0 +1,250 @@
+"""Deterministic synthetic web — the test/bench input generator.
+
+No external data (sandbox protocol). Every property of every page —
+its HTTP outcome, redirect target, span sequence, outlinks, robots
+rules — is a pure function of (url, seed) via md5, so:
+
+  * the pandas-UDF fetch stage can "fetch" any URL on any executor
+    with zero I/O and full determinism,
+  * the pure-Python oracle in tests computes the exact same web, and
+  * two runs at different parallelism (local[8] vs local[32]) see the
+    identical input, as the scaling-efficiency protocol requires.
+
+Docs follow BASELINE.json input_hint exactly:
+(doc_id:string, spans:array<struct<kind,text,media_ref,offset>>),
+kind ∈ {text, media}; text spans carry ``href:<url>`` tokens (the
+plain-text outlink form, cf. reference parse/OutlinkExtractor.java:62)
+and media spans carry media_ref outlinks (cf. reference
+parse-html DOMContentUtils.java:72-83 treating img/script/frame src as
+outlinks). Span offsets are 0..n-1 strictly increasing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+_WORDS = (
+    "crawl fetch parse link host page rank score queue delay robots "
+    "frontier segment anchor token batch spark shuffle bloom hash span"
+).split()
+
+
+@dataclass(frozen=True)
+class WebConfig:
+    seed: int = 42
+    n_hosts: int = 5
+    pages_per_host: int = 20
+    zipf: bool = True  # host h gets ~pages_per_host*n_hosts/(h+1) pages
+    gone_frac: float = 0.05
+    redir_frac: float = 0.05
+    dup_classes: int = 0  # >0 ⇒ content ids collide → duplicate signatures
+    outlinks_per_page: int = 4
+    cross_host_frac: float = 0.25
+    blocked_hosts: tuple[int, ...] = ()  # robots: forbid-all
+    slow_hosts: tuple[int, ...] = ()  # robots: crawl_delay > max ⇒ skipped
+    crawl_delay: float = 5.0  # fetcher.server.delay default
+
+
+def _h(cfg: WebConfig, *parts: object) -> int:
+    """Stable 64-bit hash of (seed, *parts)."""
+    raw = ("|".join(str(p) for p in parts) + f"|{cfg.seed}").encode()
+    return int.from_bytes(hashlib.md5(raw).digest()[:8], "big")
+
+
+def host_name(cfg: WebConfig, h: int) -> str:
+    return f"host{h}.example{h % 3}.com"
+
+
+def host_pages(cfg: WebConfig, h: int) -> int:
+    if not cfg.zipf:
+        return cfg.pages_per_host
+    n = max(1, int(cfg.pages_per_host * cfg.n_hosts / (h + 1) / 2))
+    return min(n, cfg.pages_per_host * cfg.n_hosts)
+
+
+def page_url(cfg: WebConfig, h: int, i: int) -> str:
+    return f"http://{host_name(cfg, h)}/p/{i:05d}"
+
+
+def seed_urls(cfg: WebConfig) -> list[str]:
+    """Page 0 of every host is a seed."""
+    return [page_url(cfg, h, 0) for h in range(cfg.n_hosts)]
+
+
+def _parse_url(cfg: WebConfig, url: str) -> tuple[int, int] | None:
+    """url → (host_idx, page_idx) if it is part of the synthetic web."""
+    try:
+        hostpart, _, rest = url.removeprefix("http://").partition("/p/")
+        if not hostpart.startswith("host"):
+            return None
+        h = int(hostpart.split(".")[0].removeprefix("host"))
+        i = int(rest)
+        return (h, i)
+    except (ValueError, IndexError):
+        return None
+
+
+def page_outcome(cfg: WebConfig, url: str) -> tuple[str, str | None]:
+    """(kind, redirect_to); kind ∈ ok|gone|redir_temp|redir_perm|missing."""
+    loc = _parse_url(cfg, url)
+    if loc is None:
+        return ("missing", None)
+    h, i = loc
+    if i >= host_pages(cfg, h):
+        return ("gone", None)
+    r = _h(cfg, "outcome", url) % 10_000
+    if i > 0 and r < int(cfg.gone_frac * 10_000):
+        return ("gone", None)
+    if i > 0 and r < int((cfg.gone_frac + cfg.redir_frac) * 10_000):
+        tgt = page_url(cfg, h, (i * 7 + 1) % host_pages(cfg, h))
+        if tgt != url:
+            kind = "redir_perm" if r % 2 else "redir_temp"
+            return (kind, tgt)
+    return ("ok", None)
+
+
+def page_outlinks(cfg: WebConfig, url: str) -> list[str]:
+    loc = _parse_url(cfg, url)
+    if loc is None:
+        return []
+    h, i = loc
+    out: list[str] = []
+    npages = host_pages(cfg, h)
+    for k in range(cfg.outlinks_per_page):
+        r = _h(cfg, "link", url, k)
+        if cfg.n_hosts > 1 and (r % 1000) < int(cfg.cross_host_frac * 1000):
+            th = r % cfg.n_hosts
+            if th == h:
+                th = (th + 1) % cfg.n_hosts
+            out.append(page_url(cfg, th, (r >> 16) % host_pages(cfg, th)))
+        else:
+            out.append(page_url(cfg, h, (r >> 16) % max(npages * 2, 1)))
+    return out
+
+
+def content_id(cfg: WebConfig, url: str) -> int:
+    """Duplicate-content class (dup_classes>0 ⇒ collisions)."""
+    base = _h(cfg, "content", url)
+    if cfg.dup_classes > 0:
+        return base % cfg.dup_classes
+    return base
+
+
+def page_spans(cfg: WebConfig, url: str) -> list[dict]:
+    """Ordered interleaved text+media span sequence for a fetched page.
+
+    Text spans embed ``href:<url>`` outlink tokens; media spans carry
+    media_ref outlinks. Content (minus the outlinks) depends only on
+    content_id so duplicate classes produce identical signatures.
+    """
+    cid = content_id(cfg, url)
+    links = page_outlinks(cfg, url)
+    spans: list[dict] = []
+    off = 0
+    n_text = 2 + cid % 3
+    li = 0
+    for t in range(n_text):
+        words = [_WORDS[(cid >> (4 * w + t)) % len(_WORDS)] for w in range(6)]
+        txt = " ".join(words)
+        # attach up to 2 outlinks per text span as href tokens
+        for _ in range(2):
+            if li < len(links) and (li % 2 == 0):
+                txt += f" href:{links[li]}"
+                li += 1
+            else:
+                break
+        spans.append({"kind": "text", "text": txt, "media_ref": None, "offset": off})
+        off += 1
+        if li < len(links):
+            spans.append(
+                {"kind": "media", "text": None, "media_ref": links[li], "offset": off}
+            )
+            li += 1
+            off += 1
+    while li < len(links):
+        spans.append(
+            {"kind": "media", "text": None, "media_ref": links[li], "offset": off}
+        )
+        li += 1
+        off += 1
+    return spans
+
+
+def robots_rows(cfg: WebConfig) -> list[dict]:
+    """Synthetic robots table (FIXTURES.md §5)."""
+    rows = []
+    for h in range(cfg.n_hosts):
+        host = host_name(cfg, h)
+        if h in cfg.blocked_hosts:
+            rows.append(
+                {"host": host, "disallow": ["/"], "crawl_delay": cfg.crawl_delay,
+                 "http_code": 200}
+            )
+        elif h in cfg.slow_hosts:
+            rows.append(
+                {"host": host, "disallow": [], "crawl_delay": 60.0, "http_code": 200}
+            )
+        else:
+            # every host disallows /p/0004* paths deterministically
+            rows.append(
+                {"host": host, "disallow": ["/private/"], "crawl_delay": cfg.crawl_delay,
+                 "http_code": 200}
+            )
+    return rows
+
+
+# ---- Spark-side generation (distributed, no driver loop) ----
+
+def docs_df(spark, cfg: WebConfig):
+    """Materialize the full corpus as a docs DataFrame (doc_id, spans).
+
+    Built distributed: spark.range over (host, page) index space, then a
+    mapInPandas that calls the deterministic span generator — scales to
+    any size without a driver-side loop.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    from .schema import DOCS  # noqa: PLC0415
+
+    counts = [(h, host_pages(cfg, h)) for h in range(cfg.n_hosts)]
+    offsets = []
+    total = 0
+    for h, n in counts:
+        offsets.append((h, total, total + n))
+        total += n
+
+    # range × host-bounds with between-filter (bounds tiny → broadcast)
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    bounds = spark.createDataFrame(offsets, "h int, lo long, hi long")
+
+    rng = spark.range(0, total)
+    b = F.broadcast(bounds)
+    joined = rng.join(b, (rng.id >= b.lo) & (rng.id < b.hi)).select(
+        "h", (rng.id - b.lo).cast("int").alias("i")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for h, i in zip(pdf["h"], pdf["i"]):
+                url = page_url(cfg, int(h), int(i))
+                rows.append({"doc_id": url, "spans": page_spans(cfg, url)})
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return joined.mapInPandas(gen, DOCS)
+
+
+def seeds_df(spark, cfg: WebConfig):
+    from .schema import SEEDS  # noqa: PLC0415
+
+    return spark.createDataFrame(
+        [(u, {}) for u in seed_urls(cfg)], SEEDS
+    )
+
+
+def robots_df(spark, cfg: WebConfig):
+    from .schema import ROBOTS  # noqa: PLC0415
+
+    return spark.createDataFrame(robots_rows(cfg), ROBOTS)
