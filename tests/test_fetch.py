@@ -1,0 +1,160 @@
+"""Fetch politeness / robots / redirects (FIXTURES.md §D; reference
+TestFetcher.java:82-180 politeness assertion re-expressed on simulated
+timestamps — no wall-clock sleeps)."""
+
+from __future__ import annotations
+
+import itertools
+
+from nutch_spark.constants import (
+    STATUS_FETCH_GONE,
+    STATUS_FETCH_REDIR_PERM,
+    STATUS_FETCH_REDIR_TEMP,
+    STATUS_FETCH_SUCCESS,
+)
+from nutch_spark.operators.fetch import fetch
+from nutch_spark.operators.generate import generate
+from nutch_spark.operators.inject import inject
+from nutch_spark.synth import (
+    WebConfig,
+    host_name,
+    page_url,
+    robots_rows,
+    seeds_df,
+)
+
+T0 = 1_700_000_000_000
+
+
+def make_fetchlist(spark, cfg, urls=None):
+    from pyspark.sql import Row
+
+    from nutch_spark.schema import SEEDS
+
+    if urls is None:
+        seeds = seeds_df(spark, cfg)
+    else:
+        seeds = spark.createDataFrame([Row(url=u, metadata={}) for u in urls], SEEDS)
+    fr = inject(spark, None, seeds, T0)
+    return generate(fr, T0, "seg", top_n=10_000)
+
+
+def robots_map(cfg):
+    return {r["host"]: r for r in robots_rows(cfg)}
+
+
+def test_single_host_politeness(spark):
+    """6 pages, 1 host, delay 5s ⇒ timestamps strictly spaced ≥5s and
+    makespan ≥ (n−1)×5s (cf. TestFetcher.java:116-119)."""
+    cfg = WebConfig(n_hosts=1, pages_per_host=6, zipf=False, gone_frac=0, redir_frac=0)
+    urls = [page_url(cfg, 0, i) for i in range(6)]
+    fl = make_fetchlist(spark, cfg, urls)
+    res = fetch(fl, robots_map(cfg), cfg, T0).collect()
+    assert len(res) == 6
+    assert all(r.status == STATUS_FETCH_SUCCESS for r in res)
+    ts = sorted(r.fetch_time for r in res)
+    gaps = [b - a for a, b in zip(ts, ts[1:])]
+    assert all(g >= 5000 for g in gaps)
+    assert ts[-1] - ts[0] >= 5 * 5000
+
+
+def test_multi_host_concurrent(spark):
+    """Hosts proceed concurrently: every host's first fetch is at T0."""
+    cfg = WebConfig(n_hosts=3, pages_per_host=3, zipf=False, gone_frac=0, redir_frac=0)
+    urls = [page_url(cfg, h, i) for h in range(3) for i in range(3)]
+    fl = make_fetchlist(spark, cfg, urls)
+    res = fetch(fl, robots_map(cfg), cfg, T0).collect()
+    rows = sorted((r.host, r.fetch_time) for r in res)
+    for host, grp in itertools.groupby(rows, key=lambda x: x[0]):
+        ts = sorted(t for _, t in grp)
+        assert ts[0] == T0, host
+        assert all(b - a >= 5000 for a, b in zip(ts, ts[1:]))
+
+
+def test_robots_disallow_path(spark):
+    cfg = WebConfig(n_hosts=1, pages_per_host=3, zipf=False)
+    host = host_name(cfg, 0)
+    robots = {host: {"host": host, "disallow": ["/p/0000"], "crawl_delay": 5.0, "http_code": 200}}
+    fl = make_fetchlist(spark, cfg, [page_url(cfg, 0, i) for i in range(3)])
+    res = fetch(fl, robots, cfg, T0).collect()
+    assert all(r.status == STATUS_FETCH_GONE for r in res)
+    assert all(r.protocol_status == "robots_denied" for r in res)
+
+
+def test_robots_403_forbids_all(spark):
+    cfg = WebConfig(n_hosts=1, pages_per_host=2, zipf=False)
+    host = host_name(cfg, 0)
+    robots = {host: {"host": host, "disallow": [], "crawl_delay": 5.0, "http_code": 403}}
+    fl = make_fetchlist(spark, cfg, [page_url(cfg, 0, 0)])
+    res = fetch(fl, robots, cfg, T0).collect()
+    assert res[0].status == STATUS_FETCH_GONE
+    # allow_forbidden flips it (http.robots.403.allow)
+    res2 = fetch(fl, robots, cfg, T0, allow_forbidden=True).collect()
+    assert res2[0].status == STATUS_FETCH_SUCCESS
+
+
+def test_robots_5xx_allows_all(spark):
+    cfg = WebConfig(n_hosts=1, pages_per_host=2, zipf=False)
+    host = host_name(cfg, 0)
+    robots = {host: {"host": host, "disallow": ["/"], "crawl_delay": 5.0, "http_code": 503}}
+    fl = make_fetchlist(spark, cfg, [page_url(cfg, 0, 0)])
+    res = fetch(fl, robots, cfg, T0).collect()
+    assert res[0].status == STATUS_FETCH_SUCCESS
+
+
+def test_crawl_delay_exceeds_max(spark):
+    """crawl_delay 60s > max 30s ⇒ whole host skipped
+    (FetcherThread.java:273-283)."""
+    cfg = WebConfig(n_hosts=1, pages_per_host=2, zipf=False, slow_hosts=(0,))
+    fl = make_fetchlist(spark, cfg, [page_url(cfg, 0, i) for i in range(2)])
+    res = fetch(fl, robots_map(cfg), cfg, T0).collect()
+    assert all(r.status == STATUS_FETCH_GONE for r in res)
+    assert all(r.protocol_status == "robots_denied_maxcrawldelay" for r in res)
+
+
+def test_redirect_recorded_not_followed(spark):
+    """http.redirect.max=0 ⇒ redirect target recorded in redirect_to
+    (FetcherThread.java:473-492)."""
+    cfg = WebConfig(n_hosts=1, pages_per_host=20, zipf=False, redir_frac=1.0, gone_frac=0)
+    urls = [page_url(cfg, 0, i) for i in range(1, 10)]
+    fl = make_fetchlist(spark, cfg, urls)
+    res = fetch(fl, robots_map(cfg), cfg, T0, redirect_max=0).collect()
+    redirs = [r for r in res if r.status in (STATUS_FETCH_REDIR_TEMP, STATUS_FETCH_REDIR_PERM)]
+    assert redirs, "redir_frac=1.0 must produce redirects"
+    assert all(r.redirect_to and r.redirect_to != r.url for r in redirs)
+    assert all(r.spans is None for r in redirs)
+
+
+def test_redirect_followed(spark):
+    cfg = WebConfig(n_hosts=1, pages_per_host=20, zipf=False, redir_frac=1.0, gone_frac=0)
+    urls = [page_url(cfg, 0, i) for i in range(1, 10)]
+    fl = make_fetchlist(spark, cfg, urls)
+    res = fetch(fl, robots_map(cfg), cfg, T0, redirect_max=5).collect()
+    # following up to 5 hops should resolve most to success or gone
+    assert all(
+        r.status in (STATUS_FETCH_SUCCESS, STATUS_FETCH_GONE) or r.protocol_status == "redir_exceeded"
+        for r in res
+    )
+
+
+def test_fetch_order_is_url_hash_order(spark):
+    """Within a host fetch proceeds in url_hash order (reference
+    HashComparator semantics, Generator.java:399-429)."""
+    cfg = WebConfig(n_hosts=1, pages_per_host=8, zipf=False, gone_frac=0, redir_frac=0)
+    urls = [page_url(cfg, 0, i) for i in range(8)]
+    fl = make_fetchlist(spark, cfg, urls)
+    res = fetch(fl, robots_map(cfg), cfg, T0).collect()
+    by_time = [r.url_hash for r in sorted(res, key=lambda r: r.fetch_time)]
+    assert by_time == sorted(by_time)
+
+
+def test_deterministic_across_parallelism(spark):
+    """Same input ⇒ identical fetch results regardless of partitioning."""
+    cfg = WebConfig(n_hosts=4, pages_per_host=6, zipf=False)
+    urls = [page_url(cfg, h, i) for h in range(4) for i in range(4)]
+    fl = make_fetchlist(spark, cfg, urls)
+    a = fetch(fl.repartition(1), robots_map(cfg), cfg, T0)
+    b = fetch(fl.repartition(16), robots_map(cfg), cfg, T0)
+    ka = sorted((r.url, r.status, r.fetch_time) for r in a.collect())
+    kb = sorted((r.url, r.status, r.fetch_time) for r in b.collect())
+    assert ka == kb
