@@ -1,0 +1,198 @@
+"""Crawl driver — the depth-K inject→generate→fetch→parse→updatedb loop.
+
+Reference: src/bin/crawl:168-244 / tools/Benchmark.java:237-271 drive
+the same loop over MR jobs. Here every stage writes a snapshot table
+(store.SnapshotStore ≙ Iceberg commits) and marks a manifest entry, so
+a killed run resumes from the last committed stage (north_rule
+resumability): on restart, completed (segment, stage) pairs are
+skipped and their outputs re-read from the snapshot.
+
+The fetch stage is simulated against the deterministic synthetic web
+(synth.py) — same contract as the reference's proxy testbed
+(tools/proxy/ProxyTestbed.java): reproducible pages, no network.
+
+spark-submit entry point:
+    spark-submit --py-files nutch_spark.zip -m nutch_spark.crawl \
+        --depth 3 --topn 1000 --warehouse /tmp/crawl
+(also runnable as `python -m nutch_spark.crawl`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from .constants import Defaults
+from .operators.dedup import dedup
+from .operators.fetch import fetch
+from .operators.generate import generate, mark_generated
+from .operators.inject import inject
+from .operators.linkdb import invert_links
+from .operators.parse import parse
+from .operators.updatedb import updatedb
+from .metrics import partition_counts, status_counters
+from .store import SnapshotStore
+from .synth import WebConfig, robots_rows, seeds_df
+
+
+@dataclass
+class CrawlConfig:
+    depth: int = 3
+    topn: int = 1000
+    max_count: int = Defaults.GENERATE_MAX_COUNT
+    schedule: str = "default"
+    dedup_each_cycle: bool = True
+    mark_generate: bool = True
+    start_time_ms: int = 1_700_000_000_000
+    cycle_ms: int = 3_600_000  # simulated clock advance per cycle
+
+
+class Crawler:
+    """Stateful driver over a SnapshotStore warehouse."""
+
+    def __init__(self, spark, store: SnapshotStore, web: WebConfig,
+                 cfg: CrawlConfig | None = None):
+        self.spark = spark
+        self.store = store
+        self.web = web
+        self.cfg = cfg or CrawlConfig()
+        self.robots = {r["host"]: r for r in robots_rows(web)}
+
+    # -- helpers --
+    def _frontier(self) -> DataFrame | None:
+        return (
+            self.store.read(self.spark, "frontier")
+            if self.store.exists("frontier")
+            else None
+        )
+
+    def _write_metrics(self, df: DataFrame, segment: str, stage: str,
+                       with_status: bool = True) -> None:
+        m = partition_counts(df, segment, stage)
+        if with_status and "status" in df.columns:
+            m = m.unionByName(status_counters(df, segment, stage))
+        if self.store.exists("metrics"):
+            m = self.store.read(self.spark, "metrics").unionByName(m)
+        self.store.write(m, "metrics")
+
+    # -- stages --
+    def inject(self, seeds: DataFrame | None = None) -> None:
+        if self.store.stage_done("inject", "inject"):
+            return
+        seeds = seeds if seeds is not None else seeds_df(self.spark, self.web)
+        fr = inject(self.spark, self._frontier(), seeds, self.cfg.start_time_ms)
+        self.store.write(fr, "frontier")
+        self._write_metrics(self.store.read(self.spark, "frontier"), "inject", "inject")
+        self.store.mark_stage("inject", "inject")
+
+    def cycle(self, depth: int) -> dict:
+        """One generate→fetch→parse→updatedb(→dedup) round; resumable
+        per stage. Returns counters for the round."""
+        seg = f"seg{depth:04d}"
+        now = self.cfg.start_time_ms + (depth + 1) * self.cfg.cycle_ms
+        stats: dict = {"segment": seg}
+
+        if not self.store.stage_done(seg, "generate"):
+            fr = self._frontier()
+            fl = generate(
+                fr, now, seg, top_n=self.cfg.topn, max_count=self.cfg.max_count
+            )
+            self.store.write(fl, "fetchlist")
+            if self.cfg.mark_generate:
+                fl_r = self.store.read(self.spark, "fetchlist")
+                self.store.write(mark_generated(fr, fl_r, now), "frontier")
+            self.store.mark_stage(seg, "generate")
+        fl = self.store.read(self.spark, "fetchlist")
+        stats["generated"] = fl.count()
+        if stats["generated"] == 0:
+            self.store.mark_stage(seg, "fetch")
+            self.store.mark_stage(seg, "parse")
+            self.store.mark_stage(seg, "updatedb")
+            return stats
+
+        if not self.store.stage_done(seg, "fetch"):
+            res = fetch(fl, self.robots, self.web, now)
+            self.store.write(res, "fetch_results")
+            self._write_metrics(
+                self.store.read(self.spark, "fetch_results"), seg, "fetch"
+            )
+            self.store.mark_stage(seg, "fetch")
+        res = self.store.read(self.spark, "fetch_results")
+        stats["fetched"] = res.count()
+
+        if not self.store.stage_done(seg, "parse"):
+            parse_data, crawl_parse = parse(res)
+            self.store.write(parse_data, "parse_data")
+            self.store.write(crawl_parse, "crawl_parse")
+            self.store.mark_stage(seg, "parse")
+        parse_data = self.store.read(self.spark, "parse_data")
+        crawl_parse = self.store.read(self.spark, "crawl_parse")
+        stats["parsed"] = parse_data.count()
+
+        if not self.store.stage_done(seg, "updatedb"):
+            fr2 = updatedb(
+                self.spark,
+                self._frontier(),
+                res,
+                crawl_parse,
+                now,
+                schedule=self.cfg.schedule,
+            )
+            if self.cfg.dedup_each_cycle:
+                fr2 = dedup(fr2)
+            self.store.write(fr2, "frontier")
+            self._write_metrics(
+                self.store.read(self.spark, "frontier"), seg, "updatedb"
+            )
+            self.store.mark_stage(seg, "updatedb")
+        stats["frontier"] = self.store.read(self.spark, "frontier").count()
+        return stats
+
+    def invertlinks(self) -> None:
+        pd_ = self.store.read(self.spark, "parse_data")
+        self.store.write(invert_links(pd_), "linkdb")
+
+    def crawl(self, seeds: DataFrame | None = None) -> list[dict]:
+        self.inject(seeds)
+        rounds = []
+        for d in range(self.cfg.depth):
+            rounds.append(self.cycle(d))
+        return rounds
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description="nutch_spark crawl driver")
+    ap.add_argument("--depth", type=int, default=3)
+    ap.add_argument("--topn", type=int, default=1000)
+    ap.add_argument("--warehouse", default="/tmp/nutch_spark_warehouse")
+    ap.add_argument("--hosts", type=int, default=50)
+    ap.add_argument("--pages-per-host", type=int, default=20)
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    web = WebConfig(n_hosts=args.hosts, pages_per_host=args.pages_per_host)
+    crawler = Crawler(
+        spark,
+        SnapshotStore(args.warehouse),
+        web,
+        CrawlConfig(depth=args.depth, topn=args.topn),
+    )
+    t = time.time()
+    rounds = crawler.crawl()
+    elapsed = time.time() - t
+    total = sum(r.get("fetched", 0) for r in rounds)
+    print(json.dumps({"rounds": rounds, "elapsed_sec": elapsed,
+                      "urls_fetched": total,
+                      "throughput_urls_per_sec": total / max(elapsed, 1e-9)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""LinkDb — invert the link graph; HostDb — per-host aggregates.
+
+Reference semantics:
+  * LinkDb inversion (crawl/LinkDb.java:86-156): explode outlinks,
+    group by target URL, collect (from_url, anchor) inlinks; anchors
+    truncated at db.max.anchor.length=100; inlink list capped at
+    db.max.inlinks (LinkDbMerger semantics); internal links can be
+    ignored (db.ignore.internal.links);
+  * LinkDb merge (LinkDbMerger.java): union two linkdbs, re-group,
+    cap — same group/cap program;
+  * HostDb (hostdb/UpdateHostDb.java:62-258): per-host counts of each
+    db status + score stats — a groupBy/pivot;
+  * WebGraph node degrees (scoring/webgraph/WebGraph.java:96-440):
+    out-degree from parse_data, in-degree from the inversion;
+  * LinkRank (scoring/webgraph/LinkRank.java:433-522): iterative
+    score = (1-d) + d·Σ inlink(score/outdegree), d=0.85 — an
+    iterative DataFrame loop.
+
+Scale: one shuffle per groupBy; inlink lists are bounded by
+`max_inlinks` via window rank BEFORE collect_list so no group blows
+up memory (the reference bounds the same way with a priority queue).
+LinkRank caches the degree table and checkpoints per iteration to cut
+the lineage chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..constants import Defaults, STATUS_NAMES
+from ..functions.urls import host_of
+
+
+def invert_links(
+    parse_data: DataFrame,
+    max_anchor_length: int = Defaults.MAX_ANCHOR_LENGTH,
+    max_inlinks: int = Defaults.MAX_INLINKS,
+    ignore_internal: bool = False,
+) -> DataFrame:
+    """parse_data(url, outlinks) → linkdb(url, inlinks)."""
+    ex = parse_data.select(
+        F.col("url").alias("from_url"),
+        F.explode("outlinks").alias("o"),
+    ).select(
+        F.col("o.to_url").alias("url"),
+        "from_url",
+        F.substring(F.col("o.anchor"), 1, max_anchor_length).alias("anchor"),
+    )
+    if ignore_internal:
+        ex = ex.filter(host_of(F.col("url")) != host_of(F.col("from_url")))
+    # bound before collect: rank within target, keep max_inlinks
+    w = Window.partitionBy("url").orderBy(F.asc("from_url"), F.asc("anchor"))
+    bounded = ex.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= max_inlinks
+    )
+    return bounded.groupBy("url").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("from_url"), F.col("anchor")))
+        ).alias("inlinks")
+    )
+
+
+def merge_linkdbs(a: DataFrame, b: DataFrame, max_inlinks: int = Defaults.MAX_INLINKS) -> DataFrame:
+    """LinkDbMerger: union, flatten, dedup, re-cap."""
+    u = a.unionByName(b)
+    flat = u.select("url", F.explode("inlinks").alias("i")).select(
+        "url", F.col("i.from_url").alias("from_url"), F.col("i.anchor").alias("anchor")
+    ).distinct()
+    w = Window.partitionBy("url").orderBy(F.asc("from_url"), F.asc("anchor"))
+    return (
+        flat.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_inlinks)
+        .groupBy("url")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("from_url", "anchor"))).alias("inlinks")
+        )
+    )
+
+
+def hostdb(frontier: DataFrame) -> DataFrame:
+    """Per-host status counts + score stats (UpdateHostDb semantics)."""
+    status_name = F.col("status")
+    agg = [
+        F.count("*").alias("num_urls"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+        F.avg("score").alias("avg_score"),
+        F.max("fetch_time").alias("last_fetch_time"),
+    ]
+    for code, name in sorted(STATUS_NAMES.items()):
+        if name.startswith("db_"):
+            agg.append(
+                F.sum(F.when(status_name == code, 1).otherwise(0)).alias(f"n_{name}")
+            )
+    return frontier.groupBy("host").agg(*agg)
+
+
+def node_degrees(parse_data: DataFrame, linkdb: DataFrame) -> DataFrame:
+    """WebGraph node table: out-degree ∪ in-degree per url."""
+    out_deg = parse_data.select(
+        "url", F.size(F.coalesce(F.col("outlinks"), F.array())).alias("out_degree")
+    )
+    in_deg = linkdb.select("url", F.size("inlinks").alias("in_degree"))
+    return (
+        out_deg.join(in_deg, "url", "full_outer")
+        .select(
+            "url",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def linkrank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """LinkRank (LinkRank.java:433-522): score = (1−d) + d·Σ contrib,
+    over edges(from_url, to_url). Dangling handled rank-one style via
+    the constant term only (reference uses rank-one correction).
+
+    Iterative DataFrame loop with localCheckpoint to truncate lineage —
+    each iteration is one shuffle (groupBy to_url) plus one join.
+    """
+    nodes = (
+        edges.select(F.col("from_url").alias("url"))
+        .union(edges.select(F.col("to_url").alias("url")))
+        .distinct()
+    )
+    out_deg = edges.groupBy("from_url").agg(F.count("*").alias("out_degree"))
+    # cache the static degree/edge tables once
+    edges_deg = edges.join(out_deg, "from_url").persist()
+    scores = nodes.withColumn("score", F.lit(1.0))
+    for i in range(iterations):
+        contrib = (
+            edges_deg.join(scores, edges_deg.from_url == scores.url)
+            .select(
+                F.col("to_url").alias("url"),
+                (F.col("score") / F.col("out_degree")).alias("c"),
+            )
+            .groupBy("url")
+            .agg(F.sum("c").alias("in_score"))
+        )
+        scores = (
+            nodes.join(contrib, "url", "left")
+            .select(
+                "url",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("in_score", F.lit(0.0))
+                ).alias("score"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            scores = scores.localCheckpoint(eager=True)
+    edges_deg.unpersist()
+    return scores

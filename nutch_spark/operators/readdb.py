@@ -1,0 +1,83 @@
+"""ReadDb — the frontier query surface (stats / dump / topN / url).
+
+Reference: crawl/CrawlDbReader.java — the reference's entire analytics
+query surface (SURVEY.md §3.2):
+  * -stats: count by status, retry histogram, score min/max/avg/total,
+    fetch-time quantiles, optional per-host breakdown, with a combiner
+    (CrawlDbReader.java:179-305) — Spark's partial/final hash agg gives
+    the combiner for free;
+  * -dump with status/retry/regex/expression predicates
+    (CrawlDbDumpMapper, 527-584) — plain Catalyst filters; the JEXL
+    expression becomes F.expr over the same field names;
+  * -topN with min-score pre-filter (two jobs, 586-640) — a single
+    orderBy(desc(score)).limit(n): Spark plans TakeOrderedAndProject
+    (per-partition heap + single merge), which IS the reference's
+    two-phase topN;
+  * -url point lookup (readUrl, 470-479) — filter on the key; at scale
+    the frontier table's sort order/min-max stats prune to one file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import STATUS_NAMES
+
+
+def stats(frontier: DataFrame, by_host: bool = False) -> DataFrame:
+    """Status histogram + score stats (CrawlDbReader.CrawlDbStat*)."""
+    keys = ["status"] + (["host"] if by_host else [])
+    out = (
+        frontier.groupBy(*keys)
+        .agg(
+            F.count("*").alias("count"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.avg("score").alias("avg_score"),
+            F.min("fetch_time").alias("earliest_fetch_time"),
+            F.max("fetch_time").alias("latest_fetch_time"),
+            F.max("retries").alias("max_retries"),
+        )
+    )
+    name_expr = F.create_map(
+        *[x for code, name in sorted(STATUS_NAMES.items()) for x in (F.lit(code), F.lit(name))]
+    )
+    return out.withColumn("status_name", name_expr[F.col("status")])
+
+
+def retry_histogram(frontier: DataFrame) -> DataFrame:
+    return frontier.groupBy("retries").count().orderBy("retries")
+
+
+def dump(
+    frontier: DataFrame,
+    status: int | None = None,
+    min_retries: int | None = None,
+    url_regex: str | None = None,
+    expr: str | None = None,
+) -> DataFrame:
+    """Filtered dump (CrawlDbReader.java:527-584 predicates)."""
+    df = frontier
+    if status is not None:
+        df = df.filter(F.col("status") == status)
+    if min_retries is not None:
+        df = df.filter(F.col("retries") >= min_retries)
+    if url_regex is not None:
+        df = df.filter(F.col("url").rlike(url_regex))
+    if expr is not None:
+        df = df.filter(F.expr(expr))  # ≙ the reference's JEXL predicate
+    return df
+
+
+def topn(frontier: DataFrame, n: int, min_score: float | None = None) -> DataFrame:
+    """Top-N by score (CrawlDbReader.processTopNJob, two jobs → one
+    TakeOrderedAndProject)."""
+    df = frontier
+    if min_score is not None:
+        df = df.filter(F.col("score") > min_score)
+    return df.orderBy(F.desc("score"), F.asc("url")).limit(n)
+
+
+def read_url(frontier: DataFrame, url: str) -> DataFrame:
+    return frontier.filter(F.col("url") == url)

@@ -1,0 +1,203 @@
+"""URL-seen filter — partitioned blocked bloom over canonical URL hashes.
+
+Replaces the reference's implicit URL-seen set (the CrawlDb MapFile key
+set — CrawlDbReducer creates a row per never-seen URL and existence is
+key lookup, crawl/CrawlDb.java:148, CrawlDbReducer.java:145-147) with
+the explicit bloom/cuckoo structure the north rule calls for:
+
+  * key = xxhash64(canonicalized url) — the same `url_hash` column the
+    frontier carries (functions/urls.url_hash_col);
+  * the filter is PARTITIONED: bucket = url_hash mod n_buckets; each
+    bucket is an independent bloom bitset built per-partition with
+    applyInPandas (all-NumPy, no per-row Python) and stored as one row
+    (bucket, bitset, n_keys) in a sidecar table — at 10^10-URL scale
+    each bucket holds ~10^10/n_buckets keys and buckets build/probe in
+    parallel with no shared state;
+  * probing joins candidates to their bucket row (bucket count is
+    small ⇒ broadcast) and runs a vectorized double-hashing membership
+    test inside one pandas batch;
+  * incremental maintenance: per cycle, OR the delta bitsets of newly
+    added URLs into the affected buckets — no global rebuild;
+  * false positives lose only *new* outlinks (they are wrongly treated
+    as already-known). `unseen_exact` is the audit path: a left-anti
+    join against the frontier, used in tests to measure the FP rate
+    and as the exact fallback.
+
+Bloom math: k = round(bits_per_key·ln2) hash functions via double
+hashing h_i = h1 + i·h2 (Kirsch–Mitzenmacher), h1/h2 drawn from the
+64-bit url_hash halves. All membership/insert ops are NumPy bitwise
+ops over uint8 arrays.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("bitset", T.BinaryType(), False),
+        T.StructField("n_keys", T.LongType(), False),
+    ]
+)
+
+
+def _num_hashes(bits_per_key: float) -> int:
+    return max(1, round(bits_per_key * math.log(2)))
+
+
+def _bit_positions(hashes: np.ndarray, m_bits: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n, k) arrays of byte index / bit mask for each key's k probes."""
+    h = hashes.astype(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd-ish second hash
+    i = np.arange(k, dtype=np.uint64)
+    pos = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+    return (pos >> np.uint64(3)).astype(np.int64), (
+        np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
+    )
+
+
+def _build_bitset(hashes: np.ndarray, m_bits: int, k: int) -> bytes:
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(hashes):
+        byte_idx, masks = _bit_positions(hashes, m_bits, k)
+        np.bitwise_or.at(bits, byte_idx.ravel(), masks.ravel())
+    return bits.tobytes()
+
+
+def _contains(bitset: bytes, hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    if not len(hashes):
+        return np.zeros(0, dtype=bool)
+    bits = np.frombuffer(bitset, dtype=np.uint8)
+    byte_idx, masks = _bit_positions(hashes, m_bits, k)
+    return ((bits[byte_idx] & masks) == masks).all(axis=1)
+
+
+class SeenFilter:
+    """Config + operations for the partitioned URL-seen bloom."""
+
+    def __init__(self, n_buckets: int = 64, bits_per_key: float = 10.0,
+                 expected_keys_per_bucket: int = 1_000_000):
+        self.n_buckets = n_buckets
+        self.bits_per_key = bits_per_key
+        self.k = _num_hashes(bits_per_key)
+        # bucket bitset sized for the expected load, byte-aligned
+        m = int(expected_keys_per_bucket * bits_per_key)
+        self.m_bits = max(64, (m + 7) // 8 * 8)
+
+    # -- column helpers --
+    def bucket_col(self, url_hash):
+        return F.pmod(url_hash, F.lit(self.n_buckets)).cast("int")
+
+    # -- build --
+    def build(self, frontier: DataFrame) -> DataFrame:
+        """frontier(url_hash, …) → seen table (bucket, bitset, n_keys).
+
+        One shuffle on bucket; each bucket builds independently
+        (mapInPandas-style vectorized NumPy inside applyInPandas).
+        """
+        m_bits, k = self.m_bits, self.k
+
+        def build_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "bucket": [int(pdf["bucket"].iloc[0])],
+                    "bitset": [_build_bitset(hashes, m_bits, k)],
+                    "n_keys": [len(hashes)],
+                }
+            )
+
+        keyed = frontier.select(
+            self.bucket_col(F.col("url_hash")).alias("bucket"), "url_hash"
+        )
+        return keyed.groupBy("bucket").applyInPandas(build_bucket, SEEN_SCHEMA)
+
+    # -- incremental add --
+    def add(self, seen: DataFrame, new_urls: DataFrame) -> DataFrame:
+        """OR the delta bitsets of new url_hashes into existing buckets."""
+        delta = self.build(new_urls)
+        m_bits = self.m_bits
+
+        a = seen.select("bucket", F.col("bitset").alias("b_old"), F.col("n_keys").alias("k_old"))
+        b = delta.select("bucket", F.col("bitset").alias("b_new"), F.col("n_keys").alias("k_new"))
+        j = a.join(b, "bucket", "full_outer")
+
+        @F.pandas_udf(T.BinaryType())
+        def or_bits(old: pd.Series, new: pd.Series) -> pd.Series:
+            out = []
+            for o, n in zip(old, new):
+                if o is None:
+                    out.append(n)
+                elif n is None:
+                    out.append(o)
+                else:
+                    out.append(
+                        (
+                            np.frombuffer(o, dtype=np.uint8)
+                            | np.frombuffer(n, dtype=np.uint8)
+                        ).tobytes()
+                    )
+            return pd.Series(out)
+
+        return j.select(
+            "bucket",
+            or_bits(F.col("b_old"), F.col("b_new")).alias("bitset"),
+            (F.coalesce("k_old", F.lit(0)) + F.coalesce("k_new", F.lit(0))).alias("n_keys"),
+        )
+
+    # -- probe --
+    def mark_seen(self, candidates: DataFrame, seen: DataFrame,
+                  url_hash_col: str = "url_hash") -> DataFrame:
+        """Add boolean `maybe_seen` to candidates (true ⇒ probably in
+        the frontier; false ⇒ DEFINITELY new — the useful guarantee)."""
+        m_bits, k = self.m_bits, self.k
+        with_bucket = candidates.withColumn(
+            "_bucket", self.bucket_col(F.col(url_hash_col))
+        )
+        # bucket table is n_buckets rows ⇒ always broadcast
+        j = with_bucket.join(
+            F.broadcast(seen.withColumnRenamed("bucket", "_bucket")),
+            "_bucket",
+            "left",
+        )
+
+        @F.pandas_udf(T.BooleanType())
+        def probe(hashes: pd.Series, bitsets: pd.Series) -> pd.Series:
+            out = np.zeros(len(hashes), dtype=bool)
+            if not len(hashes):
+                return pd.Series(out)
+            # group rows by bucket bitset identity to probe vectorized
+            groups: dict[int, list[int]] = {}
+            for idx, bs in enumerate(bitsets):
+                groups.setdefault(id(bs) if bs is not None else -1, []).append(idx)
+            for _, idxs in groups.items():
+                bs = bitsets.iloc[idxs[0]]
+                if bs is None:
+                    continue  # empty bucket ⇒ definitely unseen
+                hv = hashes.iloc[idxs].to_numpy(dtype=np.int64)
+                out[np.asarray(idxs)] = _contains(bs, hv, m_bits, k)
+            return pd.Series(out)
+
+        return j.withColumn(
+            "maybe_seen", probe(F.col(url_hash_col), F.col("bitset"))
+        ).drop("_bucket", "bitset", "n_keys")
+
+    def unseen(self, candidates: DataFrame, seen: DataFrame,
+               url_hash_col: str = "url_hash") -> DataFrame:
+        """Candidates definitely not in the seen set (bloom-pruned)."""
+        return self.mark_seen(candidates, seen, url_hash_col).filter(
+            ~F.col("maybe_seen")
+        ).drop("maybe_seen")
+
+
+def unseen_exact(candidates: DataFrame, frontier: DataFrame, key: str = "url") -> DataFrame:
+    """Exact audit path: left-anti join against the frontier keys."""
+    return candidates.join(frontier.select(key), key, "left_anti")

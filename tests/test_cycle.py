@@ -1,0 +1,141 @@
+"""End-to-end equivalence vs the pure-Python oracle (FIXTURES.md §H)
+and checkpoint/resume (north_rule resumability)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from nutch_spark.crawl import Crawler, CrawlConfig
+from nutch_spark.operators.fetch import fetch
+from nutch_spark.operators.generate import generate, mark_generated
+from nutch_spark.operators.inject import inject
+from nutch_spark.operators.updatedb import updatedb
+from nutch_spark.operators.parse import parse
+from nutch_spark.store import SnapshotStore
+from nutch_spark.synth import WebConfig, robots_rows, seeds_df
+
+from .oracle import crawl_oracle, url_hash, xxhash64
+
+T0 = 1_700_000_000_000
+CYCLE = 3_600_000
+
+
+def test_python_xxhash64_matches_spark(spark):
+    urls = [f"http://host{i}.example{i % 3}.com/p/{i:05d}" for i in range(50)]
+    urls += ["", "a", "ab", "abc", "abcd" * 3, "x" * 31, "y" * 32, "z" * 100]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r.url: r.h for r in df.select("url", F.xxhash64("url").alias("h")).collect()}
+    for u in urls:
+        assert got[u] == xxhash64(u.encode()), u
+
+
+def run_engine(spark, web, depth, topn):
+    robots = {r["host"]: r for r in robots_rows(web)}
+    fr = inject(spark, None, seeds_df(spark, web), T0)
+    generated, fetch_orders = [], {}
+    for d in range(depth):
+        now = T0 + (d + 1) * CYCLE
+        fl = generate(fr, now, f"seg{d}", top_n=topn).localCheckpoint(eager=True)
+        generated.append({r.url for r in fl.select("url").collect()})
+        fr = mark_generated(fr, fl, now)
+        res = fetch(fl, robots, web, now).localCheckpoint(eager=True)
+        # observable per-host order: robots-allowed rows by politeness time
+        fetched = res.filter(
+            ~F.col("protocol_status").startswith("robots_denied")
+        ).select("host", "url", "fetch_time").collect()
+        for host, grp in itertools.groupby(
+            sorted(fetched, key=lambda r: (r.host, r.fetch_time)), key=lambda r: r.host
+        ):
+            fetch_orders.setdefault(host, []).extend(r.url for r in grp)
+        _, cp = parse(res)
+        fr = updatedb(spark, fr, res, cp, now).localCheckpoint(eager=True)
+    hist = {r.status: r["count"] for r in fr.groupBy("status").count().collect()}
+    seen = {r.url for r in fr.select("url").collect()}
+    return generated, fetch_orders, seen, hist
+
+
+@pytest.mark.parametrize(
+    "web,depth,topn",
+    [
+        (WebConfig(n_hosts=5, pages_per_host=4, zipf=False), 2, 100),
+        (
+            WebConfig(
+                n_hosts=8,
+                pages_per_host=10,
+                zipf=True,
+                gone_frac=0.1,
+                redir_frac=0.1,
+                blocked_hosts=(3,),
+                slow_hosts=(5,),
+            ),
+            3,
+            40,
+        ),
+    ],
+)
+def test_engine_matches_oracle(spark, web, depth, topn):
+    """Same seeds + politeness budget + depth ⇒ identical generated topN
+    sets, per-host fetch order, URL-seen set, status histogram."""
+    generated, fetch_orders, seen, hist = run_engine(spark, web, depth, topn)
+    o = crawl_oracle(web, depth, topn, start_ms=T0, cycle_ms=CYCLE)
+    assert generated == o.generated
+    assert seen == o.seen()
+    assert hist == o.histogram()
+    assert set(fetch_orders) == set(o.fetch_order)
+    for host in fetch_orders:
+        assert fetch_orders[host] == o.fetch_order[host], host
+
+
+def test_crawler_driver_and_resume(spark, tmp_path):
+    """Crawler E2E over the snapshot store; kill after cycle-1 fetch,
+    resume, final frontier identical to an uninterrupted run."""
+    web = WebConfig(n_hosts=5, pages_per_host=6, zipf=False)
+    cfg = CrawlConfig(depth=2, topn=50, dedup_each_cycle=False, start_time_ms=T0)
+
+    # uninterrupted reference run
+    s1 = SnapshotStore(str(tmp_path / "w1"))
+    rounds = Crawler(spark, s1, web, cfg).crawl()
+    assert rounds[0]["fetched"] > 0
+    ref = s1.read(spark, "frontier")
+
+    # interrupted run: inject + cycle0 + cycle1 up to fetch, then "crash"
+    s2 = SnapshotStore(str(tmp_path / "w2"))
+    c2 = Crawler(spark, s2, web, cfg)
+    c2.inject()
+    c2.cycle(0)
+    seg = "seg0001"
+    now = cfg.start_time_ms + 2 * cfg.cycle_ms
+    fr = s2.read(spark, "frontier")
+    fl = generate(fr, now, seg, top_n=cfg.topn)
+    s2.write(fl, "fetchlist")
+    s2.write(mark_generated(fr, s2.read(spark, "fetchlist"), now), "frontier")
+    s2.mark_stage(seg, "generate")
+    res = fetch(s2.read(spark, "fetchlist"), c2.robots, web, now)
+    s2.write(res, "fetch_results")
+    s2.mark_stage(seg, "fetch")
+    # crash here; a fresh Crawler resumes cycle 1 from the manifest
+    c3 = Crawler(spark, SnapshotStore(str(tmp_path / "w2")), web, cfg)
+    c3.cycle(1)
+    got = s2.read(spark, "frontier")
+
+    flat = lambda df: df.select(
+        "url", "status", "fetch_time", "retries", "fetch_interval",
+        F.round(F.col("score").cast("double"), 4).alias("score"), "signature",
+    )
+    assert flat(got).exceptAll(flat(ref)).count() == 0
+    assert flat(ref).exceptAll(flat(got)).count() == 0
+
+
+def test_metrics_lineage_written(spark, tmp_path):
+    web = WebConfig(n_hosts=3, pages_per_host=4, zipf=False)
+    cfg = CrawlConfig(depth=1, topn=50, start_time_ms=T0)
+    store = SnapshotStore(str(tmp_path / "w"))
+    Crawler(spark, store, web, cfg).crawl()
+    m = store.read(spark, "metrics")
+    stages = {r.stage for r in m.select("stage").distinct().collect()}
+    assert {"inject", "fetch", "updatedb"} <= stages
+    # per-partition lineage rows present
+    assert m.filter((F.col("counter") == "rows") & (F.col("partition_id") >= 0)).count() > 0

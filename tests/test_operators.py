@@ -1,0 +1,272 @@
+"""Dedup, LinkDb, HostDb, ReadDb, and the URL-seen bloom filter."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nutch_spark.constants import (
+    STATUS_DB_DUPLICATE,
+    STATUS_DB_FETCHED,
+    STATUS_DB_NOTMODIFIED,
+    STATUS_DB_UNFETCHED,
+)
+from nutch_spark.operators.dedup import dedup
+from nutch_spark.operators.linkdb import (
+    hostdb,
+    invert_links,
+    linkrank,
+    merge_linkdbs,
+    node_degrees,
+)
+from nutch_spark.operators.readdb import dump, read_url, retry_histogram, stats, topn
+from nutch_spark.operators.seen import SeenFilter, unseen_exact
+from nutch_spark.schema import FRONTIER
+
+T0 = 1_700_000_000_000
+
+
+def fr_row(url, status=STATUS_DB_FETCHED, score=1.0, sig=None, ft=T0, ulen_pad=0, retries=0):
+    from tests.oracle import url_hash
+
+    return Row(
+        url=url + "x" * ulen_pad,
+        url_hash=url_hash(url + "x" * ulen_pad),
+        host=url.split("/")[2],
+        status=status,
+        fetch_time=ft,
+        retries=retries,
+        fetch_interval=2_592_000,
+        score=float(score),
+        signature=sig,
+        modified_time=0,
+        metadata={},
+    )
+
+
+# ---- dedup (FIXTURES.md §F) ----
+
+def test_dedup_keeps_best_by_score(spark):
+    rows = [
+        fr_row("http://a.example.com/1", score=5.0, sig="S"),
+        fr_row("http://b.example.com/2", score=3.0, sig="S"),
+        fr_row("http://c.example.com/3", score=1.0, sig="T"),
+    ]
+    out = {r.url: r.status for r in dedup(spark.createDataFrame(rows, FRONTIER)).collect()}
+    assert out["http://a.example.com/1"] == STATUS_DB_FETCHED
+    assert out["http://b.example.com/2"] == STATUS_DB_DUPLICATE
+    assert out["http://c.example.com/3"] == STATUS_DB_FETCHED
+
+
+def test_dedup_tiebreaks(spark):
+    # equal score ⇒ fetch_time desc wins; equal both ⇒ shorter url wins
+    rows = [
+        fr_row("http://a.example.com/1", score=1.0, sig="S", ft=T0 + 10),
+        fr_row("http://b.example.com/2", score=1.0, sig="S", ft=T0),
+        fr_row("http://c.example.com/3", score=2.0, sig="U", ft=T0),
+        fr_row("http://c.example.com/3", score=2.0, sig="U", ft=T0, ulen_pad=3),
+    ]
+    out = {r.url: r.status for r in dedup(spark.createDataFrame(rows, FRONTIER)).collect()}
+    assert out["http://a.example.com/1"] == STATUS_DB_FETCHED
+    assert out["http://b.example.com/2"] == STATUS_DB_DUPLICATE
+    assert out["http://c.example.com/3"] == STATUS_DB_FETCHED
+    assert out["http://c.example.com/3xxx"] == STATUS_DB_DUPLICATE
+
+
+def test_dedup_only_fetched_compete(spark):
+    rows = [
+        fr_row("http://a.example.com/1", status=STATUS_DB_UNFETCHED, sig="S"),
+        fr_row("http://b.example.com/2", status=STATUS_DB_NOTMODIFIED, sig="S", score=9),
+        fr_row("http://c.example.com/3", status=STATUS_DB_FETCHED, sig="S", score=1),
+        fr_row("http://d.example.com/4", status=STATUS_DB_FETCHED, sig=None),
+    ]
+    out = {r.url: r.status for r in dedup(spark.createDataFrame(rows, FRONTIER)).collect()}
+    assert out["http://a.example.com/1"] == STATUS_DB_UNFETCHED  # not eligible
+    assert out["http://b.example.com/2"] == STATUS_DB_NOTMODIFIED  # winner
+    assert out["http://c.example.com/3"] == STATUS_DB_DUPLICATE
+    assert out["http://d.example.com/4"] == STATUS_DB_FETCHED  # null sig exempt
+
+
+def test_dedup_group_by_host(spark):
+    rows = [
+        fr_row("http://a.example.com/1", score=5.0, sig="S"),
+        fr_row("http://a.example.com/2", score=3.0, sig="S"),
+        fr_row("http://b.example.com/3", score=1.0, sig="S"),
+    ]
+    out = {r.url: r.status for r in dedup(
+        spark.createDataFrame(rows, FRONTIER), group_mode="host"
+    ).collect()}
+    # same host pair dedups; other host unaffected
+    assert out["http://a.example.com/2"] == STATUS_DB_DUPLICATE
+    assert out["http://b.example.com/3"] == STATUS_DB_FETCHED
+
+
+# ---- linkdb ----
+
+def parse_data_df(spark, pages):
+    from nutch_spark.schema import PARSE_DATA
+
+    rows = []
+    for url, links in pages:
+        outlinks = [
+            Row(to_url=t, anchor=f"anchor-{i}", kind="link", link_order=i + 1)
+            for i, t in enumerate(links)
+        ]
+        rows.append(Row(url=url, title="t", text="x", signature="s",
+                        outlinks=outlinks, spans=None, segment="s"))
+    return spark.createDataFrame(rows, PARSE_DATA)
+
+
+def test_invert_links(spark):
+    pd_ = parse_data_df(
+        spark,
+        [
+            ("http://a.example.com/", ["http://t.example.com/x", "http://u.example.com/y"]),
+            ("http://b.example.com/", ["http://t.example.com/x"]),
+        ],
+    )
+    ldb = {r.url: r.inlinks for r in invert_links(pd_).collect()}
+    assert sorted(i.from_url for i in ldb["http://t.example.com/x"]) == [
+        "http://a.example.com/",
+        "http://b.example.com/",
+    ]
+    assert len(ldb["http://u.example.com/y"]) == 1
+
+
+def test_invert_links_cap_and_anchor_trunc(spark):
+    links = [(f"http://s{i}.example.com/", ["http://t.example.com/x"]) for i in range(10)]
+    pd_ = parse_data_df(spark, links)
+    ldb = invert_links(pd_, max_inlinks=4).collect()
+    assert len(ldb[0].inlinks) == 4
+
+    long_anchor_pd = parse_data_df(spark, [("http://a.example.com/", ["http://t.example.com/x"])])
+    from nutch_spark.schema import PARSE_DATA
+
+    rows = long_anchor_pd.collect()
+    row = rows[0]
+    mod = Row(url=row.url, title=row.title, text=row.text, signature=row.signature,
+              outlinks=[Row(to_url="http://t.example.com/x", anchor="A" * 300,
+                            kind="link", link_order=1)], spans=None, segment="s")
+    out = invert_links(spark.createDataFrame([mod], PARSE_DATA)).collect()[0]
+    assert len(out.inlinks[0].anchor) == 100
+
+
+def test_merge_linkdbs(spark):
+    a = invert_links(parse_data_df(spark, [("http://a.example.com/", ["http://t.example.com/x"])]))
+    b = invert_links(parse_data_df(spark, [("http://b.example.com/", ["http://t.example.com/x"])]))
+    merged = {r.url: r.inlinks for r in merge_linkdbs(a, b).collect()}
+    assert len(merged["http://t.example.com/x"]) == 2
+
+
+def test_hostdb(spark):
+    rows = [
+        fr_row("http://a.example.com/1", status=STATUS_DB_FETCHED, score=2.0),
+        fr_row("http://a.example.com/2", status=STATUS_DB_UNFETCHED, score=4.0),
+        fr_row("http://b.example.com/3", status=STATUS_DB_FETCHED),
+    ]
+    h = {r.host: r for r in hostdb(spark.createDataFrame(rows, FRONTIER)).collect()}
+    assert h["a.example.com"].num_urls == 2
+    assert h["a.example.com"].n_db_fetched == 1
+    assert h["a.example.com"].n_db_unfetched == 1
+    assert h["a.example.com"].max_score == pytest.approx(4.0)
+
+
+def test_node_degrees_and_linkrank(spark):
+    pd_ = parse_data_df(
+        spark,
+        [
+            ("http://a.example.com/", ["http://b.example.com/", "http://c.example.com/"]),
+            ("http://b.example.com/", ["http://c.example.com/"]),
+        ],
+    )
+    ldb = invert_links(pd_)
+    nd = {r.url: (r.out_degree, r.in_degree) for r in node_degrees(pd_, ldb).collect()}
+    assert nd["http://a.example.com/"] == (2, 0)
+    assert nd["http://c.example.com/"] == (0, 2)
+
+    edges = pd_.select(F.col("url").alias("from_url"), F.explode("outlinks").alias("o")).select(
+        "from_url", F.col("o.to_url").alias("to_url")
+    )
+    scores = {r.url: r.score for r in linkrank(edges, iterations=5).collect()}
+    # c has the most inlinks ⇒ highest rank; a has none ⇒ 0.15 base
+    assert scores["http://c.example.com/"] > scores["http://b.example.com/"]
+    assert scores["http://a.example.com/"] == pytest.approx(0.15)
+
+
+# ---- readdb ----
+
+def test_readdb_surface(spark):
+    rows = [
+        fr_row("http://a.example.com/1", status=STATUS_DB_FETCHED, score=5.0),
+        fr_row("http://a.example.com/2", status=STATUS_DB_UNFETCHED, score=2.0, retries=2),
+        fr_row("http://b.example.com/3", status=STATUS_DB_FETCHED, score=1.0),
+    ]
+    fr = spark.createDataFrame(rows, FRONTIER)
+    st = {r.status: r for r in stats(fr).collect()}
+    assert st[STATUS_DB_FETCHED]["count"] == 2
+    assert st[STATUS_DB_FETCHED].status_name == "db_fetched"
+    assert st[STATUS_DB_FETCHED].max_score == pytest.approx(5.0)
+
+    assert {r.retries: r["count"] for r in retry_histogram(fr).collect()} == {0: 2, 2: 1}
+
+    assert dump(fr, status=STATUS_DB_UNFETCHED).count() == 1
+    assert dump(fr, min_retries=1).count() == 1
+    assert dump(fr, url_regex=r".*b\.example.*").count() == 1
+    assert dump(fr, expr="score > 1.5 AND status = 2").count() == 1
+
+    t = topn(fr, 2)
+    assert [r.url for r in t.collect()] == [
+        "http://a.example.com/1",
+        "http://a.example.com/2",
+    ]
+    assert topn(fr, 10, min_score=1.5).count() == 2
+    assert read_url(fr, "http://b.example.com/3").count() == 1
+
+
+# ---- URL-seen bloom ----
+
+def test_seen_filter_no_false_negatives(spark):
+    sf = SeenFilter(n_buckets=8, expected_keys_per_bucket=1000)
+    rows = [fr_row(f"http://h{i % 5}.example.com/p/{i}") for i in range(200)]
+    fr = spark.createDataFrame(rows, FRONTIER)
+    seen = sf.build(fr).cache()
+    assert seen.count() == 8
+    marked = sf.mark_seen(fr.select("url", "url_hash"), seen)
+    # every frontier url must be flagged (bloom guarantees no false negatives)
+    assert marked.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_seen_filter_fp_rate_and_unseen(spark):
+    sf = SeenFilter(n_buckets=8, bits_per_key=10, expected_keys_per_bucket=1000)
+    known = [fr_row(f"http://h{i % 5}.example.com/p/{i}") for i in range(500)]
+    fr = spark.createDataFrame(known, FRONTIER)
+    seen = sf.build(fr).cache()
+    novel = spark.createDataFrame(
+        [Row(url=f"http://new{i}.example.com/x/{i}",
+             url_hash=__import__("tests.oracle", fromlist=["url_hash"]).url_hash(
+                 f"http://new{i}.example.com/x/{i}")) for i in range(1000)]
+    )
+    marked = sf.mark_seen(novel, seen)
+    fp = marked.filter(F.col("maybe_seen")).count()
+    assert fp / 1000 < 0.05  # ~1% expected at 10 bits/key
+    # bloom-unseen ⊆ exact-unseen (definitely-new guarantee)
+    bloom_unseen = {r.url for r in sf.unseen(novel, seen).collect()}
+    exact = {r.url for r in unseen_exact(novel, fr).collect()}
+    assert bloom_unseen <= exact
+
+
+def test_seen_filter_incremental_add(spark):
+    sf = SeenFilter(n_buckets=4, expected_keys_per_bucket=1000)
+    base = [fr_row(f"http://a.example.com/p/{i}") for i in range(50)]
+    extra = [fr_row(f"http://b.example.com/q/{i}") for i in range(50)]
+    fr_a = spark.createDataFrame(base, FRONTIER)
+    fr_b = spark.createDataFrame(extra, FRONTIER)
+    seen = sf.add(sf.build(fr_a), fr_b.select("url_hash")).cache()
+    both = fr_a.select("url", "url_hash").union(fr_b.select("url", "url_hash"))
+    assert sf.mark_seen(both, seen).filter(~F.col("maybe_seen")).count() == 0
+    # equivalent to building from the union at once
+    seen2 = sf.build(fr_a.unionByName(fr_b))
+    a = {(r.bucket, bytes(r.bitset)) for r in seen.collect()}
+    b = {(r.bucket, bytes(r.bitset)) for r in seen2.collect()}
+    assert a == b
