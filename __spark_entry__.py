@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship smoke query at sf0.001.
+``queries()``   — one entry per implemented operator (SURVEY.md §2 plus
+                  the training-data pipeline ops), each running the REAL
+                  nutch_spark operator over inputs derived from the
+                  driver's parquet tables.
+``oracle_sql()``— DuckDB-runnable ANSI SQL twins (see nutch_spark/gate.py
+                  for the derivation strategy and float discipline).
 """
 
 from __future__ import annotations
@@ -15,24 +17,41 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: generate a fetchlist from a frontier derived from the
+    sf0.001 tables — due-filter, per-host cap, topN window selection
+    (the north star's 'window-ranked DataFrame selection')."""
+    from nutch_spark.gate import q_generate
+
+    return q_generate(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from nutch_spark.gate import CRAWL_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    regs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: fn for name, (fn, _sql) in CRAWL_QUERIES.items()
+    }
+    try:
+        from nutch_spark.pipeline.gate import PIPELINE_QUERIES
+
+        regs.update({name: fn for name, (fn, _sql) in PIPELINE_QUERIES.items()})
+    except ImportError:
+        pass
+    return regs
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nutch_spark.gate import CRAWL_QUERIES
+
+    out = {
+        name: sql for name, (_fn, sql) in CRAWL_QUERIES.items() if sql
+    }
+    try:
+        from nutch_spark.pipeline.gate import PIPELINE_QUERIES
+
+        out.update(
+            {name: sql for name, (_fn, sql) in PIPELINE_QUERIES.items() if sql}
+        )
+    except ImportError:
+        pass
+    return out

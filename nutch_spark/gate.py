@@ -1,0 +1,665 @@
+"""Correctness-gate queries: each entry runs a real nutch_spark operator
+over inputs DERIVED from the driver's parquet tables, paired with an
+ANSI-SQL oracle that DuckDB evaluates over the same tables.
+
+Derivation strategy: the crawl engine's tables (frontier, seeds, link
+edges) are synthesized from `orders` / `customer` / `lineitem` with SQL
+text that evaluates identically on Spark SQL and DuckDB (same concat/
+cast/md5/arithmetic semantics — verified: both treat `%` with higher
+precedence than `+`, both produce lowercase-hex md5, both render bigint
+casts to identical strings). The Spark side then applies the REAL
+operator implementations (operators/*.py); the oracle re-expresses the
+operator's semantics in portable SQL. Column names and output types
+(bigint/double/string only) are aligned on both sides so the driver's
+sorted-column value-hash comparison is exact.
+
+Float discipline: every numeric that reaches an output is either an
+integer carried in bigint, or a double produced by an identical IEEE
+op sequence on both engines (exact multiples of 0.25 for scores, so
+sums/aggregations are exact and order-insensitive).
+
+Reference parity notes are in each operator module's docstring; this
+module only wires operators to the gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# simulated "now" for generate/updatedb gate queries (ms epoch)
+CUR_MS = 1_703_600_000_000
+
+
+def _url(k: str) -> str:
+    """Shared SQL expr: synthesize a canonical URL from a bigint key."""
+    return (
+        f"concat('http://host', cast({k} % 97 as string), '.example', "
+        f"cast({k} % 3 as string), '.com/p/', cast({k} as string))"
+    )
+
+
+def _host(k: str) -> str:
+    return (
+        f"concat('host', cast({k} % 97 as string), '.example', "
+        f"cast({k} % 3 as string), '.com')"
+    )
+
+
+# --- shared derivation SQL (identical text on Spark SQL and DuckDB) ---
+
+FRONTIER_SQL = f"""
+SELECT
+  {_url('o_orderkey')} AS url,
+  cast(o_orderkey * 2654435761 as bigint) AS url_hash,
+  {_host('o_orderkey')} AS host,
+  cast(1 + o_orderkey % 6 as int) AS status,
+  cast(1700000000000 + (o_orderkey % 2000) * 3600000 as bigint) AS fetch_time,
+  cast(o_orderkey % 4 as int) AS retries,
+  cast(case when o_orderkey % 10 = 0 then 8000000 else 2592000 end as int)
+    AS fetch_interval,
+  cast((o_orderkey % 41) * 0.25 as double) AS score,
+  case when o_orderkey % 6 in (1, 5)
+       then md5(cast(o_orderkey % 300 as string)) end AS signature,
+  cast(case when o_orderkey % 5 = 0 then 1690000000000 else 0 end as bigint)
+    AS modified_time
+FROM orders
+"""
+
+SEEDS_SQL = f"""
+SELECT {_url('skey')} AS url
+FROM (
+  SELECT case when c_custkey % 3 = 0 then c_custkey * 7 + 300000
+              else c_custkey * 7 end AS skey
+  FROM customer
+) s
+"""
+
+# link edges: lineitem rows as (from page, to page, anchor)
+LINKS_SQL = f"""
+SELECT
+  {_url('l_orderkey')} AS from_url,
+  {_url('l_partkey')} AS to_url,
+  concat('anchor-', cast(l_linenumber as string)) AS anchor
+FROM lineitem
+"""
+
+# fetch results for 1/3 of the frontier (keys with k % 3 = 1), so old
+# rows with status db_fetched (k%6=1 → has signature) get re-fetched —
+# exercising the signature-compare modified/notmodified branches.
+FETCH_SQL = f"""
+SELECT
+  {_url('o_orderkey')} AS url,
+  cast(case o_orderkey % 18
+       when 1 then 33 when 4 then 34 when 7 then 35
+       when 10 then 36 when 13 then 37 else 38 end as int) AS status,
+  cast({CUR_MS} as bigint) AS fetch_time,
+  cast(o_orderkey % 4 as int) AS retries,
+  cast(case when o_orderkey % 10 = 0 then 8000000 else 2592000 end as int)
+    AS fetch_interval,
+  cast((o_orderkey % 41) * 0.25 as double) AS score,
+  cast(0 as bigint) AS prev_modified_time
+FROM orders
+WHERE o_orderkey % 3 = 1
+"""
+
+# parse signature datums for the fetched URLs (status 0x41 = 65);
+# new signature = md5(k % 350) — equals the old md5(k % 300) for k < 300,
+# so both modified and notmodified outcomes occur.
+SIGS_SQL = f"""
+SELECT
+  {_url('o_orderkey')} AS url,
+  cast(65 as int) AS status,
+  md5(cast(o_orderkey % 350 as string)) AS signature
+FROM orders
+WHERE o_orderkey % 3 = 1
+"""
+
+# linked datums (status 0x43 = 67): OPIC contributions of 0.25 per edge;
+# 1/7 of targets point at never-seen URLs (key + 500000).
+LINKED_SQL = f"""
+SELECT
+  {_url('tkey')} AS url,
+  cast(67 as int) AS status,
+  cast(0.25 as double) AS score,
+  cast(2592000 as int) AS fetch_interval,
+  {_url('l_orderkey')} AS from_url,
+  concat('anchor-', cast(l_linenumber as string)) AS anchor
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         case when l_partkey % 7 = 0 then l_partkey + 500000
+              else l_partkey end AS tkey
+  FROM lineitem
+  WHERE l_orderkey % 5 = 0
+) t
+"""
+
+STATUS_CASE = (
+    "case status when 1 then 'db_unfetched' when 2 then 'db_fetched' "
+    "when 3 then 'db_gone' when 4 then 'db_redir_temp' "
+    "when 5 then 'db_redir_perm' when 6 then 'db_notmodified' "
+    "when 7 then 'db_duplicate' end"
+)
+
+
+def _views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
+    for t in names:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _null_meta(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "metadata", F.lit(None).cast("map<string,string>")
+    )
+
+
+def frontier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ["orders"])
+    return _null_meta(spark.sql(FRONTIER_SQL))
+
+
+def seeds_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ["customer"])
+    return _null_meta(spark.sql(SEEDS_SQL))
+
+
+def links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ["lineitem"])
+    return spark.sql(LINKS_SQL)
+
+
+def fetch_results_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ["orders"])
+    return _null_meta(spark.sql(FETCH_SQL))
+
+
+def crawl_parse_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of signature + linked datums shaped like schema.CRAWL_PARSE."""
+    _views(spark, sf_dir, ["orders", "lineitem"])
+    sigs = spark.sql(SIGS_SQL).select(
+        "url",
+        "status",
+        F.lit(0.0).cast("float").alias("score"),
+        F.lit(2592000).alias("fetch_interval"),
+        "signature",
+        F.lit(None).cast("string").alias("anchor"),
+        F.lit(None).cast("string").alias("from_url"),
+    )
+    linked = spark.sql(LINKED_SQL).select(
+        "url",
+        "status",
+        F.col("score").cast("float").alias("score"),
+        "fetch_interval",
+        F.lit(None).cast("string").alias("signature"),
+        "anchor",
+        "from_url",
+    )
+    return _null_meta(sigs.unionByName(linked))
+
+
+# ---------------------------------------------------------------------
+# queries — each returns (callable, oracle_sql | None)
+# ---------------------------------------------------------------------
+
+def q_readdb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.readdb import stats
+
+    out = stats(frontier_df(spark, sf_dir))
+    return out.select(
+        F.col("status").cast("long").alias("status"),
+        "status_name",
+        F.col("count").cast("long").alias("n_urls"),
+        F.col("min_score").cast("double").alias("min_score"),
+        F.col("max_score").cast("double").alias("max_score"),
+        F.col("avg_score").cast("double").alias("avg_score"),
+        F.col("earliest_fetch_time").cast("long").alias("earliest_fetch_time"),
+        F.col("latest_fetch_time").cast("long").alias("latest_fetch_time"),
+        F.col("max_retries").cast("long").alias("max_retries"),
+    )
+
+
+ORACLE_READDB_STATS = f"""
+WITH frontier AS ({FRONTIER_SQL})
+SELECT cast(status as bigint) AS status,
+       {STATUS_CASE} AS status_name,
+       cast(count(*) as bigint) AS n_urls,
+       cast(min(score) as double) AS min_score,
+       cast(max(score) as double) AS max_score,
+       cast(avg(score) as double) AS avg_score,
+       cast(min(fetch_time) as bigint) AS earliest_fetch_time,
+       cast(max(fetch_time) as bigint) AS latest_fetch_time,
+       cast(max(retries) as bigint) AS max_retries
+FROM frontier
+GROUP BY status
+"""
+
+
+def q_readdb_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.readdb import topn
+
+    out = topn(frontier_df(spark, sf_dir), 100)
+    return out.select(
+        "url",
+        F.col("score").cast("double").alias("score"),
+        F.col("status").cast("long").alias("status"),
+    )
+
+
+ORACLE_READDB_TOPN = f"""
+WITH frontier AS ({FRONTIER_SQL})
+SELECT url, cast(score as double) AS score, cast(status as bigint) AS status
+FROM frontier
+ORDER BY score DESC, url ASC
+LIMIT 100
+"""
+
+
+def q_readdb_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.readdb import dump
+
+    out = dump(
+        frontier_df(spark, sf_dir),
+        status=1,
+        min_retries=2,
+        url_regex="/p/1",
+        expr="score >= 2.0",
+    )
+    return out.select(
+        "url",
+        F.col("retries").cast("long").alias("retries"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+ORACLE_READDB_DUMP = f"""
+WITH frontier AS ({FRONTIER_SQL})
+SELECT url, cast(retries as bigint) AS retries, cast(score as double) AS score
+FROM frontier
+WHERE status = 1 AND retries >= 2 AND regexp_matches(url, '/p/1')
+  AND score >= 2.0
+"""
+
+
+def q_hostdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linkdb import hostdb
+
+    out = hostdb(frontier_df(spark, sf_dir))
+    sel = [
+        F.col("host"),
+        F.col("num_urls").cast("long").alias("num_urls"),
+        F.col("min_score").cast("double").alias("min_score"),
+        F.col("max_score").cast("double").alias("max_score"),
+        F.col("avg_score").cast("double").alias("avg_score"),
+        F.col("last_fetch_time").cast("long").alias("last_fetch_time"),
+    ]
+    for name in (
+        "db_unfetched db_fetched db_gone db_redir_temp db_redir_perm "
+        "db_notmodified db_duplicate"
+    ).split():
+        sel.append(F.col(f"n_{name}").cast("long").alias(f"n_{name}"))
+    return out.select(*sel)
+
+
+ORACLE_HOSTDB = f"""
+WITH frontier AS ({FRONTIER_SQL})
+SELECT host,
+       cast(count(*) as bigint) AS num_urls,
+       cast(min(score) as double) AS min_score,
+       cast(max(score) as double) AS max_score,
+       cast(avg(score) as double) AS avg_score,
+       cast(max(fetch_time) as bigint) AS last_fetch_time,
+       cast(sum(case when status = 1 then 1 else 0 end) as bigint) AS n_db_unfetched,
+       cast(sum(case when status = 2 then 1 else 0 end) as bigint) AS n_db_fetched,
+       cast(sum(case when status = 3 then 1 else 0 end) as bigint) AS n_db_gone,
+       cast(sum(case when status = 4 then 1 else 0 end) as bigint) AS n_db_redir_temp,
+       cast(sum(case when status = 5 then 1 else 0 end) as bigint) AS n_db_redir_perm,
+       cast(sum(case when status = 6 then 1 else 0 end) as bigint) AS n_db_notmodified,
+       cast(sum(case when status = 7 then 1 else 0 end) as bigint) AS n_db_duplicate
+FROM frontier
+GROUP BY host
+"""
+
+
+def q_dedup_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup
+
+    out = dedup(frontier_df(spark, sf_dir))
+    return out.select("url", F.col("status").cast("long").alias("status"))
+
+
+ORACLE_DEDUP_MARK = f"""
+WITH frontier AS ({FRONTIER_SQL}),
+ranked AS (
+  SELECT url, status,
+         (status in (2, 6) AND signature IS NOT NULL) AS eligible,
+         row_number() OVER (
+           PARTITION BY case when status in (2, 6) AND signature IS NOT NULL
+                        then signature else concat('u:', url) end
+           ORDER BY score DESC, fetch_time DESC, length(url) ASC, url ASC
+         ) AS rn
+  FROM frontier
+)
+SELECT url,
+       cast(case when eligible AND rn > 1 then 7 else status end as bigint)
+         AS status
+FROM ranked
+"""
+
+
+def q_inject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.inject import inject
+
+    fr = frontier_df(spark, sf_dir)
+    seeds = seeds_df(spark, sf_dir)
+    out = inject(spark, fr, seeds, CUR_MS)
+    return out.select(
+        "url",
+        F.col("status").cast("long").alias("status"),
+        F.col("score").cast("double").alias("score"),
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+        F.col("fetch_interval").cast("long").alias("fetch_interval"),
+    )
+
+
+ORACLE_INJECT = f"""
+WITH frontier AS ({FRONTIER_SQL}),
+seeds AS ({SEEDS_SQL})
+SELECT coalesce(f.url, s.url) AS url,
+       cast(case when f.url is not null then f.status else 1 end as bigint)
+         AS status,
+       cast(case when f.url is not null then f.score else 1.0 end as double)
+         AS score,
+       cast(case when f.url is not null then f.fetch_time
+                 else {CUR_MS} end as bigint) AS fetch_time,
+       cast(case when f.url is not null then f.fetch_interval
+                 else 2592000 end as bigint) AS fetch_interval
+FROM frontier f
+FULL OUTER JOIN seeds s ON f.url = s.url
+"""
+
+
+def q_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.generate import generate
+
+    out = generate(
+        frontier_df(spark, sf_dir),
+        CUR_MS,
+        "seg0001",
+        top_n=500,
+        max_count=20,
+        count_mode="host",
+    )
+    return out.select(
+        "url",
+        F.col("score").cast("double").alias("score"),
+        F.col("fetch_interval").cast("long").alias("fetch_interval"),
+        "segment",
+    )
+
+
+ORACLE_GENERATE = f"""
+WITH frontier AS ({FRONTIER_SQL}),
+due AS (
+  SELECT * FROM frontier
+  WHERE fetch_time - {CUR_MS} > 7776000000 OR fetch_time <= {CUR_MS}
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY host ORDER BY score DESC, url_hash ASC) AS rn
+  FROM due
+)
+SELECT url, cast(score as double) AS score,
+       cast(fetch_interval as bigint) AS fetch_interval,
+       'seg0001' AS segment
+FROM ranked
+WHERE rn <= 19
+ORDER BY score DESC, url_hash ASC
+LIMIT 500
+"""
+
+
+def q_linkdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linkdb import invert_links
+
+    links = links_df(spark, sf_dir)
+    parse_data = links.groupBy("from_url").agg(
+        F.collect_list(F.struct("to_url", "anchor")).alias("outlinks")
+    ).withColumnRenamed("from_url", "url")
+    out = invert_links(parse_data, max_inlinks=1_000_000)
+    return out.select(
+        "url",
+        F.size("inlinks").cast("long").alias("n_inlinks"),
+        F.array_join(
+            F.transform(
+                "inlinks", lambda x: F.concat_ws("|", x.from_url, x.anchor)
+            ),
+            ",",
+        ).alias("inlinks_str"),
+    )
+
+
+ORACLE_LINKDB = f"""
+WITH links AS ({LINKS_SQL})
+SELECT to_url AS url,
+       cast(count(*) as bigint) AS n_inlinks,
+       string_agg(concat(from_url, '|', anchor), ','
+                  ORDER BY from_url, anchor) AS inlinks_str
+FROM links
+GROUP BY to_url
+"""
+
+
+def q_node_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linkdb import invert_links, node_degrees
+
+    links = links_df(spark, sf_dir)
+    parse_data = links.groupBy("from_url").agg(
+        F.collect_list(F.struct("to_url", "anchor")).alias("outlinks")
+    ).withColumnRenamed("from_url", "url")
+    ldb = invert_links(parse_data, max_inlinks=1_000_000)
+    out = node_degrees(parse_data, ldb)
+    return out.select(
+        "url",
+        F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("in_degree").cast("long").alias("in_degree"),
+    )
+
+
+ORACLE_NODE_DEGREES = f"""
+WITH links AS ({LINKS_SQL}),
+o AS (SELECT from_url AS url, cast(count(*) as bigint) AS d
+      FROM links GROUP BY from_url),
+i AS (SELECT to_url AS url, cast(count(*) as bigint) AS d
+      FROM links GROUP BY to_url)
+SELECT coalesce(o.url, i.url) AS url,
+       coalesce(o.d, 0) AS out_degree,
+       coalesce(i.d, 0) AS in_degree
+FROM o FULL OUTER JOIN i ON o.url = i.url
+"""
+
+
+def q_updatedb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.updatedb import updatedb
+
+    out = updatedb(
+        spark,
+        frontier_df(spark, sf_dir),
+        fetch_results_df(spark, sf_dir),
+        crawl_parse_df(spark, sf_dir),
+        CUR_MS,
+        schedule="default",
+    )
+    return out.select(
+        "url",
+        F.col("status").cast("long").alias("status"),
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+        F.col("retries").cast("long").alias("retries"),
+        F.col("fetch_interval").cast("long").alias("fetch_interval"),
+        F.col("score").cast("double").alias("score"),
+        "signature",
+        F.col("modified_time").cast("long").alias("modified_time"),
+    )
+
+
+# The CrawlDbReducer state machine (operators/updatedb.py) re-expressed
+# in portable SQL. schedule=default, retry_max=3, max_interval=7776000,
+# additions allowed. 6998400 = int(7776000 * 0.9).
+ORACLE_UPDATEDB = f"""
+WITH frontier AS ({FRONTIER_SQL}),
+fres AS ({FETCH_SQL}),
+sigs AS ({SIGS_SQL}),
+linked AS ({LINKED_SQL}),
+lagg AS (
+  SELECT url, sum(score) AS link_adjust, count(*) AS link_count
+  FROM linked GROUP BY url
+),
+j AS (
+  SELECT coalesce(o.url, f.url, l.url) AS url,
+         o.url IS NOT NULL AS old_set,
+         f.url IS NOT NULL AS fetch_set,
+         coalesce(l.link_count, 0) > 0 AS has_links,
+         coalesce(l.link_adjust, 0.0) AS adjust,
+         o.status AS o_status, o.fetch_time AS o_fetch_time,
+         o.retries AS o_retries, o.fetch_interval AS o_interval,
+         o.score AS o_score, o.signature AS o_signature,
+         o.modified_time AS o_modified,
+         f.status AS f_status, f.fetch_time AS f_fetch_time,
+         f.retries AS f_retries, f.fetch_interval AS f_interval,
+         f.score AS f_score,
+         s.signature AS parse_signature
+  FROM frontier o
+  FULL OUTER JOIN fres f ON o.url = f.url
+  FULL OUTER JOIN lagg l ON coalesce(o.url, f.url) = l.url
+  LEFT OUTER JOIN sigs s ON coalesce(o.url, f.url, l.url) = s.url
+),
+c AS (
+  SELECT *,
+    case when fetch_set then f_status when has_links then 67 end AS eff,
+    case when old_set AND o_modified > 0 then o_modified else 0 end
+      AS seed_modified,
+    case when old_set then coalesce(o_modified, 0) else 0 end AS prev_modified
+  FROM j
+),
+st AS (
+  SELECT *,
+    case
+      when eff = 38 then 'notmodified'
+      when eff = 33 AND old_set AND o_signature IS NOT NULL
+           AND parse_signature IS NOT NULL then
+        case when o_signature <> parse_signature then 'modified'
+             else 'notmodified' end
+      else 'unknown'
+    end AS state,
+    f_fetch_time + cast(f_interval as bigint) * 1000 AS sched_fetch_time,
+    f_interval AS sched_interval
+  FROM c
+),
+br AS (
+  SELECT *,
+    eff in (33, 35, 36, 38) AS is_succ,
+    eff = 67 AS is_linked,
+    eff = 34 AS is_retry,
+    eff = 37 AS is_gone,
+    state = 'notmodified' AS notmod,
+    sched_interval > 7776000 AS force_refetch,
+    f_retries + 1 AS new_retries,
+    f_retries + 1 >= 3 AS retry_exceeded,
+    case when f_interval * 1.5 < 7776000.0 then cast(f_interval * 1.5 as int)
+         else 6998400 end AS gone_interval
+  FROM st
+)
+SELECT url,
+  cast(case
+    when is_linked AND old_set then o_status
+    when is_linked then 1
+    when is_succ then
+      case when force_refetch then 1
+           when notmod then 6
+           when eff = 33 then 2
+           when eff = 36 then 5
+           when eff = 35 then 4 end
+    when is_retry then case when retry_exceeded then 3 else 1 end
+    when is_gone then 3
+    when fetch_set OR has_links then f_status
+    else o_status end as bigint) AS status,
+  cast(case
+    when is_linked AND old_set then o_fetch_time
+    when is_linked then {CUR_MS}
+    when is_succ then sched_fetch_time
+    when is_retry then
+      case when retry_exceeded
+           then f_fetch_time + cast(gone_interval as bigint) * 1000
+           else f_fetch_time + 86400000 end
+    when is_gone then f_fetch_time + cast(gone_interval as bigint) * 1000
+    when fetch_set OR has_links then f_fetch_time
+    else o_fetch_time end as bigint) AS fetch_time,
+  cast(case
+    when is_linked AND old_set then o_retries
+    when is_linked then 0
+    when is_succ then case when force_refetch then 0 else 0 end
+    when is_retry then new_retries
+    when is_gone then f_retries
+    when fetch_set OR has_links then f_retries
+    else o_retries end as bigint) AS retries,
+  cast(case
+    when is_linked AND old_set then o_interval
+    when is_linked then 2592000
+    when is_succ then
+      case when force_refetch then 6998400 else sched_interval end
+    when is_retry then
+      case when retry_exceeded then gone_interval else f_interval end
+    when is_gone then gone_interval
+    when fetch_set OR has_links then f_interval
+    else o_interval end as bigint) AS fetch_interval,
+  cast(case
+    when NOT (fetch_set OR has_links) then o_score
+    when is_linked AND old_set then o_score + adjust
+    when is_linked then 0.0 + adjust
+    when old_set then o_score + adjust
+    else coalesce(f_score, 0.0) + adjust end as double) AS score,
+  case
+    when NOT (fetch_set OR has_links) then o_signature
+    when is_linked AND old_set then o_signature
+    when is_linked then NULL
+    when is_succ then
+      case when force_refetch then NULL
+           when notmod then case when old_set then o_signature end
+           else parse_signature end
+    when is_retry OR is_gone then case when old_set then o_signature end
+    else NULL end AS signature,
+  cast(case
+    when NOT (fetch_set OR has_links) then o_modified
+    when is_linked AND old_set then o_modified
+    when is_linked then 0
+    when is_succ then
+      case when force_refetch then 0
+           when notmod then prev_modified
+           else seed_modified end
+    when is_retry OR is_gone then seed_modified
+    else seed_modified end as bigint) AS modified_time
+FROM br
+WHERE old_set OR fetch_set OR has_links
+"""
+
+
+# ---------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------
+
+CRAWL_QUERIES: dict[str, tuple] = {
+    "readdb_stats": (q_readdb_stats, ORACLE_READDB_STATS),
+    "readdb_topn": (q_readdb_topn, ORACLE_READDB_TOPN),
+    "readdb_dump": (q_readdb_dump, ORACLE_READDB_DUMP),
+    "hostdb": (q_hostdb, ORACLE_HOSTDB),
+    "dedup_mark": (q_dedup_mark, ORACLE_DEDUP_MARK),
+    "inject": (q_inject, ORACLE_INJECT),
+    "generate_topn": (q_generate, ORACLE_GENERATE),
+    "linkdb_invert": (q_linkdb, ORACLE_LINKDB),
+    "node_degrees": (q_node_degrees, ORACLE_NODE_DEGREES),
+    "updatedb": (q_updatedb, ORACLE_UPDATEDB),
+}
