@@ -25,6 +25,7 @@ import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .constants import Defaults
 from .operators.dedup import dedup
@@ -32,7 +33,7 @@ from .operators.fetch import fetch
 from .operators.generate import generate, mark_generated
 from .operators.inject import inject
 from .operators.linkdb import invert_links
-from .operators.parse import parse
+from .operators.parse import crawl_parse_from, extract_pages, finish_pages
 from .operators.updatedb import updatedb
 from .metrics import partition_counts, status_counters
 from .store import SnapshotStore
@@ -49,6 +50,9 @@ class CrawlConfig:
     mark_generate: bool = True
     start_time_ms: int = 1_700_000_000_000
     cycle_ms: int = 3_600_000  # simulated clock advance per cycle
+    # False skips per-stage .count() round-trips (throughput mode);
+    # counters are still recoverable from the metrics table
+    collect_stats: bool = True
 
 
 class Crawler:
@@ -75,9 +79,7 @@ class Crawler:
         m = partition_counts(df, segment, stage)
         if with_status and "status" in df.columns:
             m = m.unionByName(status_counters(df, segment, stage))
-        if self.store.exists("metrics"):
-            m = self.store.read(self.spark, "metrics").unionByName(m)
-        self.store.write(m, "metrics")
+        self.store.append(m, "metrics")
 
     # -- stages --
     def inject(self, seeds: DataFrame | None = None) -> None:
@@ -107,7 +109,10 @@ class Crawler:
                 self.store.write(mark_generated(fr, fl_r, now), "frontier")
             self.store.mark_stage(seg, "generate")
         fl = self.store.read(self.spark, "fetchlist")
-        stats["generated"] = fl.count()
+        if self.cfg.collect_stats:
+            stats["generated"] = fl.count()
+        else:
+            stats["generated"] = fl.limit(1).count()  # emptiness only
         if stats["generated"] == 0:
             self.store.mark_stage(seg, "fetch")
             self.store.mark_stage(seg, "parse")
@@ -122,16 +127,23 @@ class Crawler:
             )
             self.store.mark_stage(seg, "fetch")
         res = self.store.read(self.spark, "fetch_results")
-        stats["fetched"] = res.count()
+        if self.cfg.collect_stats:
+            stats["fetched"] = res.count()
 
         if not self.store.stage_done(seg, "parse"):
-            parse_data, crawl_parse = parse(res)
-            self.store.write(parse_data, "parse_data")
-            self.store.write(crawl_parse, "crawl_parse")
+            # three materializations ≙ the reference segment's
+            # parse_text / parse_data / crawl_parse dirs; each expensive
+            # expression chain runs exactly once per page (see parse.py)
+            self.store.write(extract_pages(res), "parse_text")
+            base = self.store.read(self.spark, "parse_text")
+            self.store.write(finish_pages(base), "parse_data")
+            pd_r = self.store.read(self.spark, "parse_data")
+            self.store.write(crawl_parse_from(pd_r, res), "crawl_parse")
             self.store.mark_stage(seg, "parse")
         parse_data = self.store.read(self.spark, "parse_data")
         crawl_parse = self.store.read(self.spark, "crawl_parse")
-        stats["parsed"] = parse_data.count()
+        if self.cfg.collect_stats:
+            stats["parsed"] = parse_data.count()
 
         if not self.store.stage_done(seg, "updatedb"):
             fr2 = updatedb(
@@ -149,8 +161,20 @@ class Crawler:
                 self.store.read(self.spark, "frontier"), seg, "updatedb"
             )
             self.store.mark_stage(seg, "updatedb")
-        stats["frontier"] = self.store.read(self.spark, "frontier").count()
+        if self.cfg.collect_stats:
+            stats["frontier"] = self.store.read(self.spark, "frontier").count()
         return stats
+
+    def fetched_total(self) -> int:
+        """Total fetched URLs from the lineage metrics (throughput
+        mode's replacement for per-stage counts)."""
+        m = self.store.read(self.spark, "metrics")
+        row = (
+            m.filter((F.col("stage") == "fetch") & (F.col("counter") == "rows"))
+            .agg(F.sum("value").alias("v"))
+            .collect()[0]
+        )
+        return int(row.v or 0)
 
     def invertlinks(self) -> None:
         pd_ = self.store.read(self.spark, "parse_data")

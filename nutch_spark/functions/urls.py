@@ -135,6 +135,55 @@ def normalize_urls(s: pd.Series) -> pd.Series:
     return _norm_series(s)
 
 
+# Java-regex twin of the fast-path pattern, for JVM-side pre-screening.
+# This is the ONLY regex on the per-link hot path: inside array lambdas
+# Catalyst evaluates expressions interpreted (no whole-stage codegen),
+# and every RLike call converts UTF8String→String before matching —
+# profiling showed regex eval dominating parse CPU — so everything else
+# below uses native contains/startswith/substring ops.
+_FAST_OK_J = r"\Ahttps?://[a-z0-9.\-]+(:\d+)?/[^#%\\\s]*\Z"
+
+
+def is_canonical(url_col):
+    """JVM predicate: URL already canonical (normalize is identity).
+
+    The scheme's '//' is excluded from the double-slash check by
+    testing only the part after '://'. contains() is a native byte
+    scan; '/.' also covers '/..' segments."""
+    rest = F.substring_index(url_col, "://", -1)
+    bad = (
+        rest.contains("/.")
+        | rest.contains("//")
+        | rest.contains(":80/")
+        | rest.contains(":443/")
+    )
+    return url_col.rlike(_FAST_OK_J) & ~bad
+
+
+def with_normalized(df, src: str, dst: str):
+    """Normalize a URL column with a JVM fast path.
+
+    Python UDFs in a `when` branch are still evaluated for every row
+    (Spark extracts them into a BatchEvalPython stage), so the hybrid
+    is a split-union: canonical rows never leave the JVM; only the
+    slow minority crosses into the pandas normalizer. At crawl scale
+    ~all outlinks are already canonical, so this keeps the hot path in
+    whole-stage codegen.
+    """
+    fast = df.filter(is_canonical(F.col(src))).withColumn(dst, F.col(src))
+    # the slow side is rare by construction — shrink it to a few
+    # partitions first so the Arrow python stage pays per-task worker
+    # handshakes on 8 tasks, not on every scan partition (measured:
+    # ~10 s of pure handshake overhead on an EMPTY slow side at 32
+    # tasks × 2 python stages)
+    slow = (
+        df.filter(~is_canonical(F.col(src)))
+        .repartition(8)
+        .withColumn(dst, normalize_urls(F.col(src)))
+    )
+    return fast.unionByName(slow)
+
+
 # --- filters (regex-urlfilter.txt.template defaults) ---
 _SKIP_PROTO_RE = re.compile(r"\A(?:file|ftp|mailto):", re.IGNORECASE)
 _SKIP_EXT_RE = re.compile(
@@ -161,8 +210,50 @@ def accept_url(u: str) -> bool:
     return True
 
 
+_SKIP_EXTS = (
+    "gif jpg jpeg png ico css sit eps wmf zip ppt mpg xls gz rpm tgz "
+    "mov exe bmp js"
+).split()
+
+
+def accept_urls(url_col):
+    """Default regex-urlfilter decision as a pure JVM Column predicate.
+
+    Same decisions as the reference's regex rules, but expressed with
+    native string ops wherever possible (this runs per-link inside
+    array lambdas where expressions are interpreted, so each regex
+    would pay a UTF8String→String conversion + backtracking):
+      * proto skip  → lowercase 7-char prefix startswith checks;
+      * query chars → five contains scans;
+      * media/binary extension → lowercased text after the last '.'
+        against a literal set (≙ the case-insensitive \\.(ext)$ rule);
+      * path-loop trap → the backreference regex, but only for URLs
+        with ≥ 7 slashes (the minimum a /a/x/a/y/a/ loop needs), which
+        skips the only backtracking-heavy pattern for ~all URLs."""
+    head = F.lower(F.substring(url_col, 1, 7))
+    proto_bad = (
+        head.startswith("file:") | head.startswith("ftp:")
+        | head.startswith("mailto:")
+    )
+    qchars = (
+        url_col.contains("?") | url_col.contains("*") | url_col.contains("!")
+        | url_col.contains("@") | url_col.contains("=")
+    )
+    ext_bad = F.lower(F.substring_index(url_col, ".", -1)).isin(*_SKIP_EXTS)
+    slashes = F.length(url_col) - F.length(F.replace(url_col, F.lit("/")))
+    loop = (slashes >= 7) & url_col.rlike(r"\A.*(/[^/]+)/[^/]+\1/[^/]+\1/")
+    return (
+        url_col.isNotNull()
+        & (url_col != "")
+        & ~proto_bad
+        & ~qchars
+        & ~ext_bad
+        & ~loop
+    )
+
+
 @F.pandas_udf(T.BooleanType())
-def accept_urls(s: pd.Series) -> pd.Series:
+def accept_urls_pd(s: pd.Series) -> pd.Series:
     ok = s.notna() & (s != "")
     ok &= ~s.str.match(_SKIP_PROTO_RE, na=True)
     ok &= ~s.str.contains(_SKIP_QUERYCHARS_RE, na=True, regex=True)
@@ -209,8 +300,16 @@ def get_domain(host: str) -> str | None:
     return ".".join(parts[-2:])
 
 
+def host_of(url_col):
+    """Lowercased host as a pure JVM Column expression
+    (URLUtil.getHost semantics: scheme://[user@]host[:port]/...)."""
+    raw = F.regexp_extract(url_col, r"(?i)\A[a-z][a-z0-9+.\-]*://([^/:?#]+)", 1)
+    host = F.element_at(F.split(F.lower(raw), "@"), -1)
+    return F.when(raw != "", host)
+
+
 @F.pandas_udf(T.StringType())
-def host_of(s: pd.Series) -> pd.Series:
+def host_of_pd(s: pd.Series) -> pd.Series:
     ext = s.str.extract(_HOST_RE, expand=False).str.lower()
     return ext.str.rsplit("@", n=1).str[-1]
 

@@ -1,16 +1,29 @@
-"""Fetch — per-host politeness scheduling as a grouped pandas stage.
+"""Fetch — per-host politeness scheduling as a partition-vectorized
+pandas stage.
 
 Replaces the reference's in-JVM producer/consumer machinery
 (QueueFeeder + FetchItemQueues + FetcherThread,
 fetcher/FetchItemQueue.java:95-138, FetcherThread.java:259-525) with a
 Spark-native design per the north rule:
 
-  fetchlist (already host-partitioned by generate)
-    → groupBy(host).applyInPandas(token-bucket scheduler)
+  fetchlist → repartition(P, host) → sortWithinPartitions(host, url_hash)
+            → mapInPandas(politeness scheduler)
 
-Each host group is processed as ONE vectorized unit:
-  * fetch order inside a host = url_hash order (the reference's
-    HashComparator order, Generator.java:399-429);
+ONE explicit shuffle keyed on host (the reference's unsplittable
+fetchlist inputs, Fetcher.java:91-104, exist for the same reason: a
+host's queue must live in one task). The scheduler walks each Arrow
+batch in a single pass over host-sorted rows, resetting the politeness
+slot counter at host boundaries — per-host cost is O(rows), not
+O(groups). Two earlier shapes were rejected by measurement: a
+groupBy().applyInPandas paid ~10 ms of pandas/Arrow overhead per host
+group; a per-group pdf.iloc slicing loop paid ~100 µs per group, which
+at 20-URL host groups doubled the stage. A host group that spans Arrow
+batch boundaries is carried over to the next batch, so politeness is
+still computed over the whole group.
+
+Semantics (identical across all three shapes, covered by tests):
+  * fetch order inside a host = url_hash order (HashComparator,
+    Generator.java:399-429);
   * robots gating per host from a broadcast rules table with
     HttpRobotRulesParser semantics (403 ⇒ forbid-all iff
     !http.robots.403.allow; 5xx ⇒ allow-all —
@@ -19,29 +32,29 @@ Each host group is processed as ONE vectorized unit:
     fetcher.max.crawl.delay ⇒ fetch_gone/robots_denied_maxcrawldelay
     (FetcherThread.java:273-283);
   * politeness: at most `threads_per_queue` in flight, consecutive
-    slots spaced `crawl_delay` apart — simulated timestamps assigned by
-    a vectorized cumulative slot counter (no wall-clock sleeps; the
-    politeness *assertion* is on the assigned timestamps, cf.
-    TestFetcher.java:116-119);
-  * redirects: http.redirect.max=0 records the target for updatedb to
-    turn into a linked datum (FetcherThread.java:473-492); >0 follows
-    up to N hops then fetch_gone/redir_exceeded
-    (FetcherThread.java:396-406);
+    slots spaced `crawl_delay` apart — simulated timestamps from a
+    per-host slot counter (no wall-clock sleeps; the politeness
+    *assertion* is on assigned timestamps, cf. TestFetcher.java:116-119);
+  * redirects: http.redirect.max=0 records the target for updatedb
+    (FetcherThread.java:473-492); >0 follows up to N hops then
+    fetch_gone/redir_exceeded (FetcherThread.java:396-406);
   * the "network" is the deterministic synthetic web (synth.py) —
     page_outcome/page_spans are pure hash functions, so fetching is
     reproducible at any parallelism.
 
-Skew: politeness is inherently per-host serial, so a mega-host group is
-the *semantic* critical path (same in the reference — one queue).
-Protection is upstream: generate's per-host cap bounds group size; the
-host-salted repartition spreads distinct hosts evenly.
+Skew: politeness is per-host serial by nature (one queue in the
+reference too); generate's per-host cap bounds group size, and the
+host-keyed repartition spreads distinct hosts evenly.
 """
 
 from __future__ import annotations
 
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ..constants import (
     Defaults,
@@ -80,105 +93,137 @@ def fetch(
     redirect_max: int = Defaults.REDIRECT_MAX,
     allow_forbidden: bool = False,
     retry_frac: float = 0.0,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Run the simulated fetch over a fetchlist; returns fetch_results."""
     spark = fetchlist.sparkSession
     robots_bc = spark.sparkContext.broadcast(robots)
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    tpq = max(threads_per_queue, 1)
 
-    def fetch_host(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("url_hash", kind="mergesort").reset_index(drop=True)
-        host = pdf["host"].iloc[0]
-        rules = robots_bc.value.get(host)
-        delay = default_delay
-        if rules is not None and rules.get("crawl_delay") is not None:
-            delay = float(rules["crawl_delay"])
+    def process_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One host-sorted block of complete host groups, single pass."""
+        urls = pdf["url"].to_list()
+        hosts = pdf["host"].to_list()
+        n = len(urls)
+        statuses = [0] * n
+        ftimes = [cur_time_ms] * n
+        redirs: list = [None] * n
+        protos = [""] * n
+        spans_out: list = [None] * n
 
-        n = len(pdf)
-        out = {
-            "url": pdf["url"],
-            "url_hash": pdf["url_hash"],
-            "host": pdf["host"],
-            "status": pd.Series([0] * n, dtype="int32"),
-            "prev_status": pdf["status"].astype("int32"),
-            "fetch_time": pd.Series([cur_time_ms] * n, dtype="int64"),
-            "retries": pdf["retries"].astype("int32"),
-            "fetch_interval": pdf["fetch_interval"].astype("int32"),
-            "score": pdf["score"].astype("float32"),
-            "prev_signature": pdf["signature"],
-            "prev_modified_time": pdf["modified_time"].astype("int64"),
-            "redirect_to": pd.Series([None] * n, dtype="object"),
-            "protocol_status": pd.Series([""] * n, dtype="object"),
-            "spans": pd.Series([None] * n, dtype="object"),
-            "metadata": pdf["metadata"],
-            "segment": pdf["segment"],
-        }
-
-        if delay > max_crawl_delay:
-            # host skipped entirely (FetcherThread.java:273-283)
-            out["status"][:] = STATUS_FETCH_GONE
-            out["protocol_status"][:] = "robots_denied_maxcrawldelay"
-            return pd.DataFrame(out)
-
-        paths = pdf["url"].str.replace(r"\Ahttps?://[^/]+", "", regex=True, n=1)
-        allowed = paths.map(lambda p: _robots_allows(rules, p or "/", allow_forbidden))
-
-        # politeness slots: only actually-fetched items consume a slot
-        slot = allowed.cumsum() - 1
-        delay_ms = int(delay * 1000)
-        times = cur_time_ms + (slot.clip(lower=0) // max(threads_per_queue, 1)) * delay_ms
-
-        statuses = out["status"].to_numpy()
-        proto = out["protocol_status"]
-        redirs = out["redirect_to"]
-        spans_col = out["spans"]
-        ftime = out["fetch_time"].to_numpy()
-
+        robots_all = robots_bc.value
+        cur_host: str | None = None
+        rules: dict | None = None
+        delay_ms = 0
+        blocked = False
+        slot = 0
         for i in range(n):
-            if not allowed.iloc[i]:
+            h = hosts[i]
+            if h != cur_host:
+                cur_host = h
+                rules = robots_all.get(h)
+                delay = default_delay
+                if rules is not None and rules.get("crawl_delay") is not None:
+                    delay = float(rules["crawl_delay"])
+                delay_ms = int(delay * 1000)
+                blocked = delay > max_crawl_delay
+                slot = 0
+            if blocked:
+                # host skipped entirely (FetcherThread.java:273-283)
                 statuses[i] = STATUS_FETCH_GONE
-                proto.iloc[i] = "robots_denied"
+                protos[i] = "robots_denied_maxcrawldelay"
                 continue
-            ftime[i] = times.iloc[i]
-            url = pdf["url"].iloc[i]
+            url = urls[i]
+            path = "/" + url.partition("://")[2].partition("/")[2]
+            if not _robots_allows(rules, path, allow_forbidden):
+                statuses[i] = STATUS_FETCH_GONE
+                protos[i] = "robots_denied"
+                continue
+            ftimes[i] = cur_time_ms + (slot // tpq) * delay_ms
+            slot += 1
             kind, redirect_to = page_outcome(web, url)
             if retry_frac > 0 and kind == "ok":
-                import hashlib  # noqa: PLC0415
-
                 r = int.from_bytes(
-                    hashlib.md5(f"retry|{url}|{web.seed}".encode()).digest()[:4], "big"
+                    hashlib.md5(
+                        f"retry|{url}|{web.seed}".encode()
+                    ).digest()[:4],
+                    "big",
                 )
                 if (r % 10_000) < int(retry_frac * 10_000):
                     kind = "retry"
             hops = 0
+            u = url
             while kind in ("redir_temp", "redir_perm") and hops < redirect_max:
-                url = redirect_to
-                kind, redirect_to = page_outcome(web, url)
+                u = redirect_to
+                kind, redirect_to = page_outcome(web, u)
                 hops += 1
             if kind in ("redir_temp", "redir_perm"):
                 if hops >= redirect_max and redirect_max > 0:
                     statuses[i] = STATUS_FETCH_GONE
-                    proto.iloc[i] = "redir_exceeded"
+                    protos[i] = "redir_exceeded"
                 else:
                     statuses[i] = (
                         STATUS_FETCH_REDIR_TEMP
                         if kind == "redir_temp"
                         else STATUS_FETCH_REDIR_PERM
                     )
-                    redirs.iloc[i] = redirect_to
-                    proto.iloc[i] = "moved" if kind == "redir_perm" else "temp_moved"
+                    redirs[i] = redirect_to
+                    protos[i] = "moved" if kind == "redir_perm" else "temp_moved"
             elif kind == "ok":
                 statuses[i] = STATUS_FETCH_SUCCESS
-                proto.iloc[i] = "success"
-                spans_col.iloc[i] = page_spans(web, url)
+                protos[i] = "success"
+                spans_out[i] = page_spans(web, u)
             elif kind == "retry":
                 statuses[i] = STATUS_FETCH_RETRY
-                proto.iloc[i] = "exception"
+                protos[i] = "exception"
             else:  # gone / missing
                 statuses[i] = STATUS_FETCH_GONE
-                proto.iloc[i] = "notfound"
+                protos[i] = "notfound"
 
-        out["status"] = pd.Series(statuses, dtype="int32")
-        out["fetch_time"] = pd.Series(ftime, dtype="int64")
-        return pd.DataFrame(out)
+        return pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "url_hash": pdf["url_hash"],
+                "host": pdf["host"],
+                "status": pd.Series(statuses, dtype="int32", index=pdf.index),
+                "prev_status": pdf["status"].astype("int32"),
+                "fetch_time": pd.Series(ftimes, dtype="int64", index=pdf.index),
+                "retries": pdf["retries"].astype("int32"),
+                "fetch_interval": pdf["fetch_interval"].astype("int32"),
+                "score": pdf["score"].astype("float32"),
+                "prev_signature": pdf["signature"],
+                "prev_modified_time": pdf["modified_time"].astype("int64"),
+                "redirect_to": pd.Series(redirs, dtype="object", index=pdf.index),
+                "protocol_status": pd.Series(protos, dtype="object", index=pdf.index),
+                "spans": pd.Series(spans_out, dtype="object", index=pdf.index),
+                "metadata": pdf["metadata"],
+                "segment": pdf["segment"],
+            }
+        )
 
-    return fetchlist.groupBy("host").applyInPandas(fetch_host, FETCH_RESULTS)
+    def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            hosts = pdf["host"].to_numpy()
+            # rows of the batch's last host may continue in the next
+            # batch — carry them over so the group stays whole
+            cut = int(np.flatnonzero(hosts == hosts[-1])[0])
+            carry = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            if len(head):
+                yield process_block(head)
+        if carry is not None and len(carry):
+            yield process_block(carry)
+
+    part = fetchlist.repartition(nparts, "host").sortWithinPartitions(
+        "host", "url_hash"
+    )
+    return part.mapInPandas(fetch_partition, FETCH_RESULTS)

@@ -36,7 +36,7 @@ from ..constants import (
     STATUS_DB_GONE,
     STATUS_DB_UNFETCHED,
 )
-from ..functions.urls import accept_urls, host_of, normalize_urls, url_hash_col
+from ..functions.urls import accept_urls, host_of, url_hash_col, with_normalized
 from ..schema import FRONTIER
 
 
@@ -46,7 +46,10 @@ def prepare_seeds(seeds: DataFrame, cur_time_ms: int) -> DataFrame:
         F.col("metadata"), F.create_map().cast("map<string,string>")
     )
     s = (
-        seeds.withColumn("url", normalize_urls(F.col("url")))
+        with_normalized(
+            seeds.withColumnRenamed("url", "_url_raw"), "_url_raw", "url"
+        )
+        .drop("_url_raw")
         .filter(F.col("url").isNotNull() & (F.col("url") != ""))
         .filter(accept_urls(F.col("url")))
         .withColumn("metadata", meta)

@@ -21,13 +21,24 @@ Reference semantics (re-expressed, not ported):
 **Span-sequence invariant** (BASELINE.json input_hint): parse_data
 carries the input span array through untouched — (kind, text,
 media_ref, offset) order is preserved exactly; outlink extraction is a
-pure read. Everything below is JVM-side Catalyst expressions
-(higher-order array functions + regexp) — no Python in this stage.
+pure read.
+
+**Execution shape — map-only fast path.** The whole per-page pipeline
+runs as array expressions ON THE PAGE ROW (filter/array_distinct/slice
+preserve document order), so for pages whose outlinks are already
+canonical — the overwhelming majority in a real crawl — parse is a
+single map stage: no explode-then-window, no shuffle at all, exactly
+like the reference's map-side ParseOutputFormat. An earlier shape that
+exploded every link and ran three window passes cost three full
+shuffle+sort rounds and put a serial floor under the stage; the array
+form scales linearly with input. Pages containing a non-canonical
+outlink take a slow path (explode → pandas normalizer → windows) that
+preserves normalize-then-dedup ordering semantics; the two paths union.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..constants import (
@@ -38,9 +49,27 @@ from ..constants import (
     STATUS_LINKED,
     STATUS_SIGNATURE,
 )
-from ..functions.urls import accept_urls, domain_of, host_of, normalize_urls
+from ..functions.urls import (
+    accept_urls,
+    domain_of,
+    host_of,
+    is_canonical,
+    with_normalized,
+)
 
 HREF_RE = r"href:(\S+)"
+
+
+def _once(col: Column) -> Column:
+    """Evaluate-once barrier. Catalyst has no subexpression elimination
+    for lambda-bearing (higher-order) expressions, and CollapseProject /
+    PushDownPredicates happily duplicate them — the span-extraction
+    chain showed up 7× in this plan before this barrier. Wrapping in a
+    trivially-true nondeterministic conditional marks the expression
+    nondeterministic, which the optimizer refuses to inline or push
+    through, so every downstream reference reads the computed column.
+    Costs one rand() per row; saves N-1 evaluations of the chain."""
+    return F.when(F.rand() >= -1.0, col)
 
 
 def _raw_outlinks_col():
@@ -61,6 +90,17 @@ def _text_col():
     return F.trim(F.regexp_replace(joined, HREF_RE, ""))
 
 
+def _host_kind_filter(
+    to_url: Column, page_host: Column, ignore_external: bool, external_mode: str
+) -> Column:
+    if not ignore_external:
+        return F.lit(True)
+    to_host = host_of(to_url)
+    if external_mode == "byDomain":
+        return domain_of(to_host) == domain_of(page_host)
+    return to_host == page_host
+
+
 def parse(
     fetch_results: DataFrame,
     max_outlinks: int = Defaults.MAX_OUTLINKS_PER_PAGE,
@@ -69,102 +109,169 @@ def parse(
     score_internal: float = Defaults.SCORE_LINK_INTERNAL,
     score_external: float = Defaults.SCORE_LINK_EXTERNAL,
 ) -> tuple[DataFrame, DataFrame]:
-    """fetch_results → (parse_data, crawl_parse)."""
-    ok = fetch_results.filter(F.col("status") == STATUS_FETCH_SUCCESS)
+    """fetch_results → (parse_data, crawl_parse).
 
-    base = ok.select(
+    crawl_parse derives from parse_data's lineage; a caller that
+    materializes parse_data first (the crawl driver does) should pass
+    the STORED table to `crawl_parse_from` so the extraction chain runs
+    exactly once per page."""
+    pd_ = parse_pages(
+        fetch_results, max_outlinks, ignore_external, external_mode
+    )
+    cp = crawl_parse_from(
+        pd_, fetch_results, score_internal, score_external
+    )
+    return pd_, cp
+
+
+def parse_pages(
+    fetch_results: DataFrame,
+    max_outlinks: int = Defaults.MAX_OUTLINKS_PER_PAGE,
+    ignore_external: bool = False,
+    external_mode: str = "byHost",
+) -> DataFrame:
+    """extraction + outlink pipeline → parse_data, in one lineage.
+
+    The crawl driver materializes `extract_pages` first (≙ the
+    reference's separate parse_text segment dir) and runs
+    `finish_pages` on the stored table: the span-extraction chain is a
+    higher-order expression Catalyst re-evaluates at every reference
+    (7× in the fused plan — no subexpression elimination for
+    lambda-bearing exprs, and predicate pushdown inlines them into
+    filters), so cutting the lineage there is worth one extra write."""
+    return finish_pages(
+        extract_pages(fetch_results), max_outlinks, ignore_external,
+        external_mode,
+    )
+
+
+def extract_pages(fetch_results: DataFrame) -> DataFrame:
+    """The expensive single-pass extraction projection: span text,
+    signature, ordered raw outlinks. Evaluates each span chain once."""
+    ok = fetch_results.filter(F.col("status") == STATUS_FETCH_SUCCESS)
+    return ok.select(
         "url",
         "host",
         "score",
         "segment",
         "spans",
-        _text_col().alias("text"),
-        _raw_outlinks_col().alias("raw_outlinks"),
+        _once(_text_col()).alias("text"),
+        _once(_raw_outlinks_col()).alias("raw_outlinks"),
     ).withColumn("signature", F.md5(F.col("text")))
 
-    # one row per candidate outlink, order preserved via pos
-    ex = base.select(
+
+def finish_pages(
+    base: DataFrame,
+    max_outlinks: int = Defaults.MAX_OUTLINKS_PER_PAGE,
+    ignore_external: bool = False,
+    external_mode: str = "byHost",
+) -> DataFrame:
+    """Outlink pipeline over extracted pages → parse_data."""
+
+    # --- fast path: every outlink already canonical → pure array ops ---
+    all_canonical = ~F.exists(
+        F.col("raw_outlinks"), lambda u: ~is_canonical(u)
+    )
+    fast = base.filter(all_canonical)
+    ext_ok = (
+        (lambda u: _host_kind_filter(u, F.col("host"), ignore_external, external_mode))
+        if ignore_external
+        else (lambda u: F.lit(True))
+    )
+    kept_arr = F.slice(
+        F.array_distinct(
+            F.filter(
+                F.col("raw_outlinks"),
+                lambda u: accept_urls(u) & (u != F.col("url")) & ext_ok(u),
+            )
+        ),
+        1,
+        max_outlinks,
+    )
+    fast = fast.withColumn("kept", _once(kept_arr)).withColumn(
+        "valid_count", F.size("kept")
+    )
+    fast_pages = fast.select(
         "url",
         "host",
         "score",
         "segment",
-        F.posexplode("raw_outlinks").alias("pos", "to_url_raw"),
-    )
-    ex = ex.withColumn("to_url", normalize_urls(F.col("to_url_raw")))
-    ex = ex.filter(
-        F.col("to_url").isNotNull()
-        & (F.col("to_url") != "")
-        & accept_urls(F.col("to_url"))
-        & (F.col("to_url") != F.col("url"))  # self-link drop
-    )
-    ex = ex.withColumn("to_host", host_of(F.col("to_url")))
-    if ignore_external:
-        if external_mode == "byDomain":
-            ex = ex.filter(domain_of(F.col("to_host")) == domain_of(F.col("host")))
-        else:
-            ex = ex.filter(F.col("to_host") == F.col("host"))
-
-    # per-page dedup (first occurrence) then cap, both in doc order
-    w_dup = Window.partitionBy("url", "to_url").orderBy("pos")
-    w_page = Window.partitionBy("url").orderBy("pos")
-    kept = (
-        ex.withColumn("dup_rank", F.row_number().over(w_dup))
-        .filter(F.col("dup_rank") == 1)
-        .withColumn("link_order", F.row_number().over(w_page))
-        .filter(F.col("link_order") <= max_outlinks)
-        .drop("dup_rank")
+        "spans",
+        "text",
+        "signature",
+        F.transform(
+            "kept",
+            lambda u, i: F.struct(
+                u.alias("to_url"),
+                F.substring(u, 1, Defaults.MAX_ANCHOR_LENGTH).alias("anchor"),
+                F.lit("link").alias("kind"),
+                (i + 1).alias("link_order"),
+            ),
+        ).alias("outlinks"),
+        "valid_count",
     )
 
-    # OPIC distribution: score / valid_count × internal/external factor
-    w_url = Window.partitionBy("url")
-    kept = kept.withColumn("valid_count", F.count("*").over(w_url))
+    # --- slow path: some outlink needs real normalization ---
+    slow = base.filter(~all_canonical)
+    slow_pages = _slow_outlink_pipeline(
+        slow, max_outlinks, ignore_external, external_mode
+    )
+
+    pages = fast_pages.unionByName(slow_pages)
+
+    return pages.select(
+        "url",
+        F.regexp_extract("text", r"\A(\S+(?:\s+\S+)?)", 1).alias("title"),
+        "text",
+        "signature",
+        "outlinks",
+        "spans",
+        "segment",
+        "host",
+        F.col("score").cast("float").alias("score"),
+    )
+
+
+def crawl_parse_from(
+    parse_data: DataFrame,
+    fetch_results: DataFrame,
+    score_internal: float = Defaults.SCORE_LINK_INTERNAL,
+    score_external: float = Defaults.SCORE_LINK_EXTERNAL,
+) -> DataFrame:
+    """parse_data (+ fetch_results for redirects) → crawl_parse datums.
+
+    Cheap: one map-side explode of the stored outlink arrays — contrib
+    needs no window because valid_count is the array size. Run this on
+    the MATERIALIZED parse_data so extraction isn't re-executed."""
+    pages = parse_data.withColumn("valid_count", F.size("outlinks"))
     factor = F.when(
-        F.col("to_host") == F.col("host"), F.lit(float(score_internal))
+        host_of(F.col("o.to_url")) == F.col("host"),
+        F.lit(float(score_internal)),
     ).otherwise(F.lit(float(score_external)))
-    kept = kept.withColumn(
-        "contrib", (F.col("score") / F.col("valid_count") * factor).cast("float")
-    )
-
-    # parse_data: reassemble ordered outlink array per page (no extra
-    # shuffle — reuse the url-partitioned exchange via collect over window)
-    outlink_struct = F.struct(
-        F.col("to_url").alias("to_url"),
-        F.substring(F.col("to_url"), 1, Defaults.MAX_ANCHOR_LENGTH).alias("anchor"),
-        F.lit("link").alias("kind"),
-        F.col("link_order").alias("link_order"),
-    )
-    per_page = (
-        kept.groupBy("url")
-        .agg(F.sort_array(F.collect_list(F.struct("link_order", outlink_struct.alias("o")))).alias("tmp"))
-        .select("url", F.transform("tmp", lambda x: x["o"]).alias("outlinks"))
-    )
-    parse_data = (
-        base.join(per_page, "url", "left")
+    linked = (
+        pages.filter(F.col("valid_count") > 0)
         .select(
             "url",
-            F.regexp_extract("text", r"\A(\S+(?:\s+\S+)?)", 1).alias("title"),
-            "text",
-            "signature",
-            F.coalesce(
-                "outlinks", F.array().cast(per_page.schema["outlinks"].dataType)
-            ).alias("outlinks"),
-            "spans",
-            "segment",
+            "host",
+            "score",
+            "valid_count",
+            F.explode("outlinks").alias("o"),
         )
+        .select(
+            F.col("o.to_url").alias("out_url"),
+            F.lit(STATUS_LINKED).alias("status"),
+            (F.col("score") / F.col("valid_count") * factor)
+            .cast("float")
+            .alias("score"),
+            F.lit(Defaults.FETCH_INTERVAL).alias("fetch_interval"),
+            F.lit(None).cast("string").alias("signature"),
+            F.col("o.anchor").alias("anchor"),
+            F.col("url").alias("from_url"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+        )
+        .withColumnRenamed("out_url", "url")
     )
-
-    # crawl_parse: linked datums + signature datums + redirect targets
-    linked = kept.select(
-        F.col("to_url").alias("url"),
-        F.lit(STATUS_LINKED).alias("status"),
-        F.col("contrib").alias("score"),
-        F.lit(Defaults.FETCH_INTERVAL).alias("fetch_interval"),
-        F.lit(None).cast("string").alias("signature"),
-        F.substring(F.col("to_url"), 1, Defaults.MAX_ANCHOR_LENGTH).alias("anchor"),
-        F.col("url").alias("from_url"),
-        F.lit(None).cast("map<string,string>").alias("metadata"),
-    )
-    sigs = base.select(
+    sigs = pages.select(
         F.col("url"),
         F.lit(STATUS_SIGNATURE).alias("status"),
         F.lit(0.0).cast("float").alias("score"),
@@ -174,23 +281,101 @@ def parse(
         F.lit(None).cast("string").alias("from_url"),
         F.lit(None).cast("map<string,string>").alias("metadata"),
     )
-    redirs = (
+    redirs = with_normalized(
         fetch_results.filter(
             F.col("status").isin(STATUS_FETCH_REDIR_TEMP, STATUS_FETCH_REDIR_PERM)
             & F.col("redirect_to").isNotNull()
+        ).select("url", "redirect_to"),
+        "redirect_to",
+        "redir_norm",
+    ).select(
+        F.col("redir_norm").alias("target"),
+        F.lit(STATUS_LINKED).alias("status"),
+        F.lit(0.0).cast("float").alias("score"),
+        F.lit(Defaults.FETCH_INTERVAL).alias("fetch_interval"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(None).cast("string").alias("anchor"),
+        F.col("url").alias("from_url"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    ).filter(
+        F.col("target").isNotNull() & accept_urls(F.col("target"))
+    ).withColumnRenamed("target", "url")
+
+    return linked.unionByName(sigs).unionByName(redirs)
+
+
+def _slow_outlink_pipeline(
+    slow: DataFrame,
+    max_outlinks: int,
+    ignore_external: bool,
+    external_mode: str,
+) -> DataFrame:
+    """Explode → pandas-normalize → window dedup/cap, for the rare pages
+    whose outlinks need real normalization. Normalize happens BEFORE
+    dedup (reference order), so two raw variants of one canonical URL
+    collapse correctly here."""
+    ex = slow.select(
+        "url",
+        "host",
+        F.posexplode_outer("raw_outlinks").alias("pos", "to_url_raw"),
+    )
+    ex = with_normalized(ex, "to_url_raw", "to_url")
+    ex = ex.filter(
+        F.col("to_url").isNotNull()
+        & (F.col("to_url") != "")
+        & accept_urls(F.col("to_url"))
+        & (F.col("to_url") != F.col("url"))
+    )
+    if ignore_external:
+        to_host = host_of(F.col("to_url"))
+        if external_mode == "byDomain":
+            ex = ex.filter(domain_of(to_host) == domain_of(F.col("host")))
+        else:
+            ex = ex.filter(to_host == F.col("host"))
+    w_dup = Window.partitionBy("url", "to_url").orderBy("pos")
+    w_page = Window.partitionBy("url").orderBy("pos")
+    kept = (
+        ex.withColumn("dup_rank", F.row_number().over(w_dup))
+        .filter(F.col("dup_rank") == 1)
+        .withColumn("link_order", F.row_number().over(w_page))
+        .filter(F.col("link_order") <= max_outlinks)
+    )
+    per_page = (
+        kept.groupBy("url")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("link_order", "to_url"))
+            ).alias("tmp")
         )
         .select(
-            normalize_urls(F.col("redirect_to")).alias("url"),
-            F.lit(STATUS_LINKED).alias("status"),
-            F.lit(0.0).cast("float").alias("score"),
-            F.lit(Defaults.FETCH_INTERVAL).alias("fetch_interval"),
-            F.lit(None).cast("string").alias("signature"),
-            F.lit(None).cast("string").alias("anchor"),
-            F.col("url").alias("from_url"),
-            F.lit(None).cast("map<string,string>").alias("metadata"),
+            "url",
+            F.transform(
+                "tmp",
+                lambda x: F.struct(
+                    x["to_url"].alias("to_url"),
+                    F.substring(x["to_url"], 1, Defaults.MAX_ANCHOR_LENGTH).alias(
+                        "anchor"
+                    ),
+                    F.lit("link").alias("kind"),
+                    x["link_order"].alias("link_order"),
+                ),
+            ).alias("outlinks"),
         )
-        .filter(F.col("url").isNotNull() & accept_urls(F.col("url")))
     )
-
-    crawl_parse = linked.unionByName(sigs).unionByName(redirs)
-    return parse_data, crawl_parse
+    empty_outlinks = F.array().cast(
+        "array<struct<to_url:string,anchor:string,kind:string,link_order:int>>"
+    )
+    return (
+        slow.join(per_page, "url", "left")
+        .select(
+            "url",
+            "host",
+            "score",
+            "segment",
+            "spans",
+            "text",
+            "signature",
+            F.coalesce("outlinks", empty_outlinks).alias("outlinks"),
+        )
+        .withColumn("valid_count", F.size("outlinks"))
+    )

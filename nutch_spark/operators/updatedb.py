@@ -122,16 +122,37 @@ def updatedb(
     links = sigs = None
     if crawl_parse is not None:
         lk = crawl_parse.filter(F.col("status") == STATUS_LINKED)
+        # db.update.max.inlinks cap (top-K by score, CrawlDbReducer.java:
+        # 57-58): a window over every link row would shuffle+sort the
+        # whole link stream just in case some URL exceeds K=10000. Do a
+        # plain hash agg first (map-side partials, one light shuffle)
+        # and re-rank ONLY the over-cap URLs — normally none, and when a
+        # mega-page exists this confines the sort to exactly the skewed
+        # keys.
+        agg0 = lk.groupBy("url").agg(
+            F.sum("score").alias("_sum_all"),
+            F.count("*").alias("link_count"),
+        )
+        hot = agg0.filter(F.col("link_count") > max_inlinks).select("url")
         wl = Window.partitionBy("url").orderBy(
             F.desc("score"), F.asc("from_url"), F.asc("anchor")
         )
-        links = (
-            lk.withColumn("_r", F.row_number().over(wl))
+        hot_sums = (
+            lk.join(hot, "url", "left_semi")
+            .withColumn("_r", F.row_number().over(wl))
             .filter(F.col("_r") <= max_inlinks)
             .groupBy("url")
-            .agg(
-                F.sum("score").cast("float").alias("link_adjust"),
-                F.count("*").alias("link_count"),
+            .agg(F.sum("score").alias("_sum_topk"))
+        )
+        links = (
+            agg0.join(hot_sums, "url", "left_outer")
+            .select(
+                "url",
+                F.coalesce(F.col("_sum_topk"), F.col("_sum_all"))
+                .cast("float")
+                .alias("link_adjust"),
+                F.least(F.col("link_count"), F.lit(max_inlinks).cast("long"))
+                .alias("link_count"),
             )
         )
         sigs = (

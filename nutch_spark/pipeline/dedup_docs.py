@@ -1,0 +1,220 @@
+"""Corpus deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Scale design (the reason each algorithm is shaped the way it is):
+
+  - exact: one hash-groupBy on md5(text) — a single shuffle keyed by
+    digest; at 100 TB pre-partition the write by digest-bucket so the
+    groupBy is shuffle-free on re-runs.
+  - n-gram Jaccard: the exact (quadratic-ish) path — explode distinct
+    shingles, self-join on shingle, count intersections. Correct but
+    the shingle join's fan-out is the cost; use it to VERIFY candidate
+    pairs, not to generate them, beyond small corpora.
+  - MinHash+LSH: the scale path — per-row signature (array program,
+    no shuffle), banding, and a self-join on (band_idx, band_hash)
+    buckets only. Candidates are then verified with the exact Jaccard
+    join restricted to candidate pairs. The band join's skew (a hot
+    bucket = a big dup cluster) is handled by AQE skew-join; bucket
+    size can also be capped before the join.
+  - SimHash: per-row 16-bit fingerprint from shingle hashes; near-dup
+    pairs = hamming distance ≤ r. The pair search here is a self-join
+    (fine at test scale); the production path blocks on bit-bands the
+    same way LSH does.
+
+Hash discipline: every hash is md5-hex (lowercase) so test oracles in
+any engine agree; a production deployment would swap in xxhash64 for
+speed without changing semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import shingles_col
+
+ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical texts by md5; canonical row = min id per group."""
+    h = F.md5(F.col(text_col))
+    return (
+        docs.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingled(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_col(F.col(text_col), n)).alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs (a < b) with Jaccard(shingle sets) ≥ threshold.
+
+    With `candidates` (a DataFrame of (a, b)) only those pairs are
+    scored — the LSH verify path; otherwise all co-shingled pairs."""
+    s = shingled(docs, text_col, id_col, n)
+    sizes = s.select("id", F.size("sh").alias("sz"))
+    ex = s.select("id", F.explode("sh").alias("g"))
+    a = ex.select(F.col("id").alias("a"), "g")
+    b = ex.select(F.col("id").alias("b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb"))
+    j = inter.join(sa, "a").join(sb, "b")
+    jac = F.col("inter").cast("double") / (
+        F.col("sza") + F.col("szb") - F.col("inter")
+    ).cast("double")
+    return (
+        j.select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc MinHash signature: permutation i = lexicographic min of
+    md5(i || shingle). A per-row array program — no shuffle, no UDF."""
+    s = shingled(docs, text_col, id_col, n)
+    cols = [F.col("id")]
+    for i in range(num_perm):
+        mh = F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda g, i=i: F.md5(F.concat(F.lit(f"{i}|"), g)),
+            )
+        )
+        cols.append(mh.alias(f"mh_{i}"))
+    return s.select(*cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_perm: int = 8, band_rows: int = 2
+) -> DataFrame:
+    """Band the signature (bands of `band_rows` minima) and self-join
+    per (band_idx, band_hash) bucket → distinct candidate pairs a<b."""
+    n_bands = num_perm // band_rows
+    bands = []
+    for bidx in range(n_bands):
+        parts = [
+            F.col(f"mh_{bidx * band_rows + r}") for r in range(band_rows)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(bidx).alias("bidx"),
+                F.md5(F.concat_ws("#", *parts)).alias("bh"),
+            )
+        )
+    e = signatures.select(
+        "id", F.explode(F.array(*bands)).alias("band")
+    ).select("id", F.col("band.bidx").alias("bidx"), F.col("band.bh").alias("bh"))
+    a = e.select(F.col("id").alias("a"), "bidx", "bh")
+    b = e.select(F.col("id").alias("b"), "bidx", "bh")
+    return (
+        a.join(b, ["bidx", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 8,
+    band_rows: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end MinHash LSH near-dup detection: signature → band
+    buckets → candidate pairs → exact-Jaccard verify ≥ threshold."""
+    sigs = minhash_signatures(docs, num_perm, n, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, num_perm, band_rows)
+    return ngram_jaccard_pairs(
+        docs, threshold, n, text_col, id_col, candidates=cands
+    )
+
+
+def _bit(h: Column, i: int) -> Column:
+    """Bit i of a 16-bit hash from md5 hex char parity (+1/-1)."""
+    return F.when(
+        F.substring(h, i + 1, 1).isin(*ODD_HEX), F.lit(1)
+    ).otherwise(F.lit(-1))
+
+
+def simhash(
+    docs: DataFrame,
+    n: int = 3,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """16-bit SimHash over shingle features: bit i of the fingerprint
+    is the majority of bit i over all shingle hashes. explode+groupBy
+    (one shuffle on doc id); the per-feature bit extraction stays in
+    codegen."""
+    s = shingled(docs, text_col, id_col, n)
+    ex = s.select("id", F.explode("sh").alias("g")).withColumn(
+        "h", F.md5(F.col("g"))
+    )
+    aggs = [
+        F.sum(_bit(F.col("h"), i)).alias(f"s{i}") for i in range(bits)
+    ]
+    summed = ex.groupBy("id").agg(*aggs)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return summed.select("id", fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_distance: int = 2,
+    n: int = 3,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_distance."""
+    sh = simhash(docs, n, bits, text_col, id_col)
+    a = sh.select(F.col("id").alias("a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("id").alias("b"), F.col("simhash").alias("hb"))
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", dist.cast("long"))
+        .filter(F.col("hamming") <= max_distance)
+        .select("a", "b", "hamming")
+    )

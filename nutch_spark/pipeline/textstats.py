@@ -1,0 +1,153 @@
+"""Text analysis operators: token counts, quality, language ID,
+document fingerprints.
+
+All pure Catalyst column programs (whole-stage codegen, zero Python in
+the hot path) — at 100 TB these run inside the parquet scan stage with
+full predicate/column pruning; nothing shuffles except the final
+aggregation a caller might add.
+
+Design notes for scale:
+  - counting via `regexp_count` keeps the work in the JVM per row;
+  - the fingerprint (bottom-k sketch of shingle hashes) is a per-row
+    array program — no explode, no shuffle; k strings of 32 hex chars
+    bound the row-state regardless of document length;
+  - the language-ID heuristic is stopword-hit counting (the classic
+    n-gram/stopword profile approach, cf. Nutch's language-identifier
+    plugin, reference src/plugin/language-identifier/) — a broadcast
+    profile table would extend it to more languages the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"[a-z0-9]+"
+ALNUM_RE = r"[a-z0-9]"
+PUNCT_RE = r"[^a-z0-9 ]"
+
+# minimal per-language stopword profiles (expandable; broadcast a real
+# profile table at production scale)
+LANG_STOPWORDS = {
+    "en": ["the", "a", "an", "of", "to", "in", "and", "is"],
+    "es": ["el", "la", "de", "que", "y", "un", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein"],
+    "fr": ["le", "les", "et", "des", "une", "du", "au"],
+}
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """Count space-delimited stopword occurrences (non-overlapping,
+    left-to-right — identical scan semantics on Spark and DuckDB)."""
+    pat = " (" + "|".join(words) + ") "
+    return F.regexp_count(F.concat(F.lit(" "), text, F.lit(" ")), F.lit(pat))
+
+
+def token_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace/alnum token counts + a BPE-ish piece count (letters
+    runs, digit runs and single punctuation marks each count as one
+    piece — the shape a byte-pair tokenizer's pretokenizer produces)."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        F.regexp_count(t, F.lit(TOKEN_RE)).cast("long").alias("n_tokens"),
+        F.regexp_count(t, F.lit(ALNUM_RE)).cast("long").alias("n_alnum"),
+        F.regexp_count(t, F.lit(PUNCT_RE)).cast("long").alias("n_punct"),
+        (
+            F.regexp_count(t, F.lit(TOKEN_RE))
+            + F.regexp_count(t, F.lit(PUNCT_RE))
+        ).cast("long").alias("n_bpe_pieces"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic document-quality score from length / punctuation /
+    stopword-density signals (rational arithmetic only — deterministic
+    IEEE ops, no transcendentals)."""
+    t = F.col(text_col)
+    n_tokens = F.regexp_count(t, F.lit(TOKEN_RE)).cast("double")
+    n_alnum = F.regexp_count(t, F.lit(ALNUM_RE)).cast("double")
+    n_punct = F.regexp_count(t, F.lit(PUNCT_RE)).cast("double")
+    n_chars = F.length(t).cast("double")
+    stops = stopword_hits(t, LANG_STOPWORDS["en"]).cast("double")
+    len_score = n_tokens / (n_tokens + F.lit(50.0))
+    punct_ratio = n_punct / (n_chars + F.lit(1.0))
+    stop_ratio = stops / (n_tokens + F.lit(1.0))
+    mean_tok_len = n_alnum / (n_tokens + F.lit(1.0))
+    quality = len_score * (F.lit(1.0) - punct_ratio) * (
+        F.lit(0.5) + stop_ratio
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def detect_language(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-profile language ID. Ties break in fixed profile order
+    (en > es > de > fr) so the result is deterministic."""
+    t = F.col(text_col)
+    hits = {
+        lang: stopword_hits(t, words).cast("long")
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    detected = (
+        F.when(
+            (hits["en"] >= hits["es"])
+            & (hits["en"] >= hits["de"])
+            & (hits["en"] >= hits["fr"]),
+            F.lit("en"),
+        )
+        .when((hits["es"] >= hits["de"]) & (hits["es"] >= hits["fr"]), F.lit("es"))
+        .when(hits["de"] >= hits["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        F.col(id_col),
+        *[hits[lang].alias(f"hits_{lang}") for lang in LANG_STOPWORDS],
+        detected.alias("detected_lang"),
+    )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (whole text as one shingle if too
+    short). Per-row array program — no explode needed to build it."""
+    toks = F.split(text, " ")
+    sz = F.size(toks)
+    idx = F.sequence(F.lit(1), sz - F.lit(n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    return F.when(sz >= n, grams).otherwise(F.array(text))
+
+
+def fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 4,
+) -> DataFrame:
+    """Bottom-k sketch fingerprint: the k lexicographically smallest
+    md5(shingle) values, joined — a winnowing-style rolling fingerprint
+    with O(doc) work and O(k) output per row."""
+    sh = shingles_col(F.col(text_col), n)
+    hashed = F.array_sort(F.transform(sh, F.md5))
+    return docs.select(
+        F.col(id_col),
+        F.array_join(F.slice(hashed, 1, k), ",").alias("fingerprint"),
+    )

@@ -97,7 +97,10 @@ FETCH_RESULTS = T.StructType(
     ]
 )
 
-# parse outputs (ParseOutputFormat.java:119-308)
+# parse outputs (ParseOutputFormat.java:119-308); host + page score are
+# carried so crawl_parse datums can be derived from the STORED table
+# without re-running extraction (≙ passScoreBeforeParsing stashing the
+# score in parse metadata, OPICScoringFilter.java:98-104)
 PARSE_DATA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -107,6 +110,8 @@ PARSE_DATA = T.StructType(
         T.StructField("outlinks", T.ArrayType(OUTLINK)),
         T.StructField("spans", T.ArrayType(SPAN)),
         T.StructField("segment", T.StringType(), False),
+        T.StructField("host", T.StringType()),
+        T.StructField("score", T.FloatType()),
     ]
 )
 

@@ -15,11 +15,22 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     app_name: str = "nutch-spark",
+    executors: int | None = None,
+    executor_mem_mb: int = 4096,
 ) -> SparkSession:
+    """local[cores] session, or — with `executors` — a
+    local-cluster[executors, cores, mem] session: real executor JVMs,
+    the shape the N→4N scaling evidence runs on (and much kinder to GC
+    than one giant 32-thread heap). `cores` is per-executor there."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    if executors:
+        master = f"local-cluster[{executors},{cores},{executor_mem_mb}]"
+        shuffle_partitions = shuffle_partitions or max(executors * cores, 8)
+    else:
+        master = f"local[{cores}]"
+        shuffle_partitions = shuffle_partitions or max(cores, 8)
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         # AQE: runtime coalescing + skew-join splitting (north_rule skew req)
         .config("spark.sql.adaptive.enabled", "true")
@@ -35,4 +46,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if executors:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            builder.config("spark.executor.memory", f"{executor_mem_mb}m")
+            # ≙ spark-submit --py-files nutch_spark.zip (north_rule):
+            # executor python workers must resolve this package
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
+        )
     return builder.getOrCreate()

@@ -76,6 +76,25 @@ class SnapshotStore:
         self._advance(table, nxt)
         return nxt
 
+    def append(self, df: DataFrame, table: str) -> int:
+        """Append-only commit: the new snapshot dir holds ONLY the new
+        rows and `read` unions every committed snapshot (Iceberg
+        append-snapshot semantics). Used for the metrics/lineage table
+        so per-stage counter writes are O(new rows), not O(history)."""
+        cur = self.current_snapshot(table)
+        nxt = 0 if cur is None else cur + 1
+        path = self.snapshot_path(table, nxt)
+        df.write.mode("overwrite").parquet(path)
+        flag = os.path.join(self._table_dir(table), "APPEND")
+        if not os.path.exists(flag):
+            with open(flag, "w") as f:
+                f.write("1")
+        self._advance(table, nxt)
+        return nxt
+
+    def _is_append(self, table: str) -> bool:
+        return os.path.exists(os.path.join(self._table_dir(table), "APPEND"))
+
     def _advance(self, table: str, snapshot: int) -> None:
         ptr = self._pointer(table)
         os.makedirs(os.path.dirname(ptr), exist_ok=True)
@@ -88,6 +107,13 @@ class SnapshotStore:
         snap = self.current_snapshot(table) if snapshot is None else snapshot
         if snap is None:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
+        if self._is_append(table):
+            paths = [
+                self.snapshot_path(table, i)
+                for i in range(snap + 1)
+                if os.path.isdir(self.snapshot_path(table, i))
+            ]
+            return spark.read.parquet(*paths)
         return spark.read.parquet(self.snapshot_path(table, snap))
 
     def rollback(self, table: str, snapshot: int) -> None:

@@ -236,6 +236,66 @@ def docs_df(spark, cfg: WebConfig):
     return joined.mapInPandas(gen, DOCS)
 
 
+def frontier_df(spark, cfg: WebConfig, fetch_time_ms: int, score: float = 1.0):
+    """Materialize the full web as a due frontier DataFrame — the
+    steady-state-cycle bench input (a 10^10-row frontier's cycle doesn't
+    ramp from seeds; this synthesizes the mid-crawl state directly).
+
+    Distributed: spark.range over the page index space, bounds joined
+    broadcast, URL text built with JVM concat — no driver-side loop,
+    no Python. Scales to any n_hosts.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    if not cfg.zipf:
+        # uniform pages/host ⇒ pure arithmetic, no join at all
+        per = host_pages(cfg, 0)
+        rng = spark.range(0, cfg.n_hosts * per)
+        joined = rng.select(
+            (F.col("id") / per).cast("int").alias("h"),
+            (F.col("id") % per).cast("int").alias("i"),
+        )
+    else:
+        counts = [(h, host_pages(cfg, h)) for h in range(cfg.n_hosts)]
+        offsets = []
+        total = 0
+        for h, n in counts:
+            offsets.append((h, total, total + n))
+            total += n
+        bounds = spark.createDataFrame(offsets, "h int, lo long, hi long")
+        rng = spark.range(0, total)
+        b = F.broadcast(bounds)
+        # NB: a range-condition broadcast join is O(rows × hosts) — fine
+        # for the zipf test webs (small n_hosts), never for big uniform
+        # bench webs, which take the arithmetic path above
+        joined = rng.join(b, (rng.id >= b.lo) & (rng.id < b.hi)).select(
+            "h", (rng.id - b.lo).cast("int").alias("i")
+        )
+    host = F.concat(
+        F.lit("host"), F.col("h").cast("string"),
+        F.lit(".example"), (F.col("h") % 3).cast("string"), F.lit(".com"),
+    )
+    url = F.concat(
+        F.lit("http://"), host, F.lit("/p/"),
+        F.lpad(F.col("i").cast("string"), 5, "0"),
+    )
+    return joined.select(
+        url.alias("url"),
+        F.xxhash64(url).alias("url_hash"),
+        host.alias("host"),
+        F.lit(1).alias("status"),  # db_unfetched, due
+        F.lit(fetch_time_ms).cast("long").alias("fetch_time"),
+        F.lit(0).alias("retries"),
+        F.lit(2_592_000).alias("fetch_interval"),
+        (F.lit(float(score)) + (F.col("i") % 100) / F.lit(100.0))
+        .cast("float")
+        .alias("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+
+
 def seeds_df(spark, cfg: WebConfig):
     from .schema import SEEDS  # noqa: PLC0415
 
