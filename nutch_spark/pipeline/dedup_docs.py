@@ -105,15 +105,18 @@ def minhash_signatures(
     """Per-doc MinHash signature: permutation i = lexicographic min of
     md5(i || shingle). A per-row array program — no shuffle, no UDF."""
     s = shingled(docs, text_col, id_col, n)
+
+    def perm(i: int):
+        # closure factory — a `lambda g, i=i:` two-arg lambda would be
+        # interpreted by F.transform as its (element, index) form
+        prefix = f"{i}|"
+        return lambda g: F.md5(F.concat(F.lit(prefix), g))
+
     cols = [F.col("id")]
     for i in range(num_perm):
-        mh = F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda g, i=i: F.md5(F.concat(F.lit(f"{i}|"), g)),
-            )
+        cols.append(
+            F.array_min(F.transform(F.col("sh"), perm(i))).alias(f"mh_{i}")
         )
-        cols.append(mh.alias(f"mh_{i}"))
     return s.select(*cols)
 
 

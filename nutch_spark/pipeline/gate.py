@@ -1,0 +1,527 @@
+"""Correctness-gate wiring for the training-data pipeline operators.
+
+Same discipline as nutch_spark/gate.py: each query runs a REAL
+pipeline operator over the driver's parquet tables (documents /
+embeddings / events, plus a derived dup-corpus), and the oracle
+re-expresses its semantics in DuckDB SQL. Hashes are md5-hex
+everywhere (identical across engines); floats only ever come from
+exact-integer inputs through an identical IEEE op sequence.
+
+The dup-corpus derivation plants both exact duplicates (doc_id+100000)
+and near-duplicates (doc_id+200000 with three appended tokens) so the
+dedup family has real positives to find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..gate import _views
+
+CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+UNION ALL
+SELECT doc_id + 200000 AS doc_id,
+       concat(text, ' qqextra zzword yynear') AS text
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+# DuckDB-side twin of textstats.shingles_col + array_distinct
+_SHINGLE_CTES = f"""
+corpus AS ({CORPUS_SQL}),
+tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM corpus),
+sh AS (
+  SELECT doc_id, unnest(
+    case when len(t) >= 3
+         then list_transform(range(1, len(t) - 1),
+                             i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
+         else [text] end) AS g
+  FROM tok),
+dsh AS (SELECT DISTINCT doc_id, g FROM sh)
+"""
+
+_ODD = "('1','3','5','7','9','b','d','f')"
+
+
+def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ["documents"])
+    return spark.sql(CORPUS_SQL)
+
+
+# ---------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_docs import exact_dedup
+
+    out = exact_dedup(corpus_df(spark, sf_dir))
+    return out.select(
+        "content_hash",
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT md5(text) AS content_hash,
+       cast(min(doc_id) as bigint) AS canonical_id,
+       cast(count(*) as bigint) AS n_copies
+FROM corpus GROUP BY md5(text)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_docs import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(corpus_df(spark, sf_dir), threshold=0.8)
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH {_SHINGLE_CTES},
+sz AS (SELECT doc_id, count(*) AS s FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM dsh x JOIN dsh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id)
+SELECT cast(a as bigint) AS a, cast(b as bigint) AS b,
+       cast(i as double) / cast(sa.s + sb.s - i as double) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = a
+JOIN sz sb ON sb.doc_id = b
+WHERE cast(i as double) / cast(sa.s + sb.s - i as double) >= 0.8
+"""
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_docs import minhash_signatures
+
+    out = minhash_signatures(corpus_df(spark, sf_dir), num_perm=8)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        *[F.col(f"mh_{i}") for i in range(8)],
+    )
+
+
+_MH_COLS = ",\n       ".join(
+    f"min(md5(concat('{i}|', g))) AS mh_{i}" for i in range(8)
+)
+ORACLE_MINHASH_SIG = f"""
+WITH {_SHINGLE_CTES}
+SELECT cast(doc_id as bigint) AS doc_id,
+       {_MH_COLS}
+FROM dsh GROUP BY doc_id
+"""
+
+_SIGS_CTE = f"""
+sigs AS (
+  SELECT doc_id, {_MH_COLS}
+  FROM dsh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id,
+         md5(concat(mh_0, '#', mh_1)) AS b0,
+         md5(concat(mh_2, '#', mh_3)) AS b1,
+         md5(concat(mh_4, '#', mh_5)) AS b2,
+         md5(concat(mh_6, '#', mh_7)) AS b3
+  FROM sigs)
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_docs import minhash_dedup_pairs
+
+    out = minhash_dedup_pairs(corpus_df(spark, sf_dir), threshold=0.8)
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
+
+
+ORACLE_MINHASH_LSH = f"""
+WITH {_SHINGLE_CTES},
+{_SIGS_CTE},
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.doc_id < y.doc_id
+   AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)),
+sz AS (SELECT doc_id, count(*) AS s FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM dsh x JOIN dsh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id)
+SELECT cast(inter.a as bigint) AS a, cast(inter.b as bigint) AS b,
+       cast(i as double) / cast(sa.s + sb.s - i as double) AS jaccard
+FROM inter
+JOIN cand ON cand.a = inter.a AND cand.b = inter.b
+JOIN sz sa ON sa.doc_id = inter.a
+JOIN sz sb ON sb.doc_id = inter.b
+WHERE cast(i as double) / cast(sa.s + sb.s - i as double) >= 0.8
+"""
+
+
+def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_docs import simhash
+
+    out = simhash(corpus_df(spark, sf_dir))
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("simhash").cast("long").alias("simhash"),
+    )
+
+
+_BIT_SUMS = ",\n       ".join(
+    f"sum(case when substr(h, {i + 1}, 1) in {_ODD} then 1 else -1 end) AS s{i}"
+    for i in range(16)
+)
+_BIT_VAL = " + ".join(
+    f"(case when s{i} > 0 then {1 << i} else 0 end)" for i in range(16)
+)
+_SIMHASH_CTE = f"""
+hsh AS (SELECT doc_id, md5(g) AS h FROM dsh),
+bits AS (
+  SELECT doc_id, {_BIT_SUMS}
+  FROM hsh GROUP BY doc_id),
+simh AS (
+  SELECT cast(doc_id as bigint) AS doc_id,
+         cast({_BIT_VAL} as bigint) AS simhash
+  FROM bits)
+"""
+
+ORACLE_SIMHASH_SIG = f"""
+WITH {_SHINGLE_CTES},
+{_SIMHASH_CTE}
+SELECT doc_id, simhash FROM simh
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_docs import simhash_pairs
+
+    out = simhash_pairs(corpus_df(spark, sf_dir), max_distance=2)
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH {_SHINGLE_CTES},
+{_SIMHASH_CTE}
+SELECT x.doc_id AS a, y.doc_id AS b,
+       cast(bit_count(xor(x.simhash, y.simhash)) as bigint) AS hamming
+FROM simh x JOIN simh y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+"""
+
+
+# ---------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import token_stats
+
+    _views(spark, sf_dir, ["documents"])
+    return token_stats(spark.table("documents"))
+
+
+ORACLE_TOKEN_STATS = """
+SELECT cast(doc_id as bigint) AS doc_id,
+       cast(length(text) as bigint) AS n_chars,
+       cast(len(regexp_extract_all(text, '[a-z0-9]+')) as bigint) AS n_tokens,
+       cast(len(regexp_extract_all(text, '[a-z0-9]')) as bigint) AS n_alnum,
+       cast(len(regexp_extract_all(text, '[^a-z0-9 ]')) as bigint) AS n_punct,
+       cast(len(regexp_extract_all(text, '[a-z0-9]+'))
+            + len(regexp_extract_all(text, '[^a-z0-9 ]')) as bigint)
+         AS n_bpe_pieces
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import quality_scores
+
+    _views(spark, sf_dir, ["documents"])
+    return quality_scores(spark.table("documents"))
+
+
+_EN_PAT = " (the|a|an|of|to|in|and|is) "
+ORACLE_TEXT_QUALITY = f"""
+WITH c AS (
+  SELECT doc_id,
+    cast(len(regexp_extract_all(text, '[a-z0-9]+')) as double) AS n_tokens,
+    cast(len(regexp_extract_all(text, '[a-z0-9]')) as double) AS n_alnum,
+    cast(len(regexp_extract_all(text, '[^a-z0-9 ]')) as double) AS n_punct,
+    cast(length(text) as double) AS n_chars,
+    cast(len(regexp_extract_all(concat(' ', text, ' '), '{_EN_PAT}'))
+         as double) AS stops
+  FROM documents)
+SELECT cast(doc_id as bigint) AS doc_id,
+       cast(n_tokens as bigint) AS n_tokens,
+       n_alnum / (n_tokens + 1.0) AS mean_token_len,
+       n_punct / (n_chars + 1.0) AS punct_ratio,
+       stops / (n_tokens + 1.0) AS stopword_ratio,
+       (n_tokens / (n_tokens + 50.0)) * (1.0 - n_punct / (n_chars + 1.0))
+         * (0.5 + stops / (n_tokens + 1.0)) AS quality
+FROM c
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import detect_language
+
+    _views(spark, sf_dir, ["documents"])
+    return detect_language(spark.table("documents"))
+
+
+def _hits(pat: str) -> str:
+    return f"len(regexp_extract_all(concat(' ', text, ' '), ' ({pat}) '))"
+
+
+_L = {
+    "en": "the|a|an|of|to|in|and|is",
+    "es": "el|la|de|que|y|un|los",
+    "de": "der|die|das|und|ist|von|ein",
+    "fr": "le|les|et|des|une|du|au",
+}
+ORACLE_LANGID = f"""
+WITH c AS (
+  SELECT doc_id,
+    cast({_hits(_L['en'])} as bigint) AS hits_en,
+    cast({_hits(_L['es'])} as bigint) AS hits_es,
+    cast({_hits(_L['de'])} as bigint) AS hits_de,
+    cast({_hits(_L['fr'])} as bigint) AS hits_fr
+  FROM documents)
+SELECT cast(doc_id as bigint) AS doc_id,
+       hits_en, hits_es, hits_de, hits_fr,
+       case when hits_en >= hits_es AND hits_en >= hits_de
+                 AND hits_en >= hits_fr then 'en'
+            when hits_es >= hits_de AND hits_es >= hits_fr then 'es'
+            when hits_de >= hits_fr then 'de'
+            else 'fr' end AS detected_lang
+FROM c
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import fingerprints
+
+    _views(spark, sf_dir, ["documents"])
+    return fingerprints(spark.table("documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "fingerprint"
+    )
+
+
+ORACLE_FINGERPRINT = """
+WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+shl AS (
+  SELECT doc_id,
+    case when len(t) >= 3
+         then list_transform(range(1, len(t) - 1),
+                             i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
+         else [text] end AS gs
+  FROM tok)
+SELECT cast(doc_id as bigint) AS doc_id,
+       array_to_string(list_sort(list_transform(gs, g -> md5(g)))[1:4], ',')
+         AS fingerprint
+FROM shl
+"""
+
+
+# ---------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import knn_numpy
+
+    _views(spark, sf_dir, ["embeddings"])
+    return knn_numpy(spark.table("embeddings"), k=5)
+
+
+_Q_CTE = """
+q AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> cast(floor(cast(x as double) * 1000.0) as bigint)) AS v
+      FROM embeddings),
+n AS (SELECT vec_id, v,
+             cast(list_sum(list_transform(v, y -> y * y)) as double) AS nn
+      FROM q)
+"""
+
+ORACLE_KNN_COSINE = f"""
+WITH {_Q_CTE},
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_dot_product(a.v, b.v) / (sqrt(a.nn) * sqrt(b.nn)) AS sim
+  FROM n a, n b WHERE a.vec_id <> b.vec_id),
+r AS (SELECT a, b, sim,
+             row_number() OVER (PARTITION BY a ORDER BY sim DESC, b ASC)
+               AS rank
+      FROM p)
+SELECT cast(a as bigint) AS vec_id, cast(b as bigint) AS neighbor_id,
+       sim, cast(rank as bigint) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import knn_ivf
+
+    _views(spark, sf_dir, ["embeddings"])
+    return knn_ivf(spark.table("embeddings"), k=5, n_pivots=16)
+
+
+ORACLE_KNN_IVF = f"""
+WITH {_Q_CTE},
+piv AS (SELECT vec_id AS p, v AS pv, nn AS pn FROM n WHERE vec_id < 16),
+ps AS (
+  SELECT n.vec_id, n.v, n.nn, piv.p,
+         list_dot_product(n.v, piv.pv) / (sqrt(n.nn) * sqrt(piv.pn)) AS psim
+  FROM n, piv),
+asg AS (
+  SELECT vec_id, v, nn, p AS cluster FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY psim DESC, p ASC) AS r
+    FROM ps) WHERE r = 1),
+pp AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_dot_product(a.v, b.v) / (sqrt(a.nn) * sqrt(b.nn)) AS sim
+  FROM asg a JOIN asg b
+    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+r AS (SELECT a, b, sim,
+             row_number() OVER (PARTITION BY a ORDER BY sim DESC, b ASC)
+               AS rank
+      FROM pp)
+SELECT cast(a as bigint) AS vec_id, cast(b as bigint) AS neighbor_id,
+       sim, cast(rank as bigint) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------
+
+_MEDIA_CTE = """
+m AS (
+  SELECT cast(doc_id as bigint) AS doc_id,
+         concat('media://', md5(text)) AS media_ref,
+         case cast(doc_id % 3 as int)
+              when 0 then 'image' when 1 then 'audio'
+              else 'video' end AS media_type
+  FROM documents),
+dec AS (
+  SELECT doc_id, media_ref, media_type, md5(media_ref) AS h FROM m),
+decoded AS (
+  SELECT doc_id, media_ref, media_type,
+         cast(64 + (ascii(substr(h, 1, 1)) % 8) * 32 as bigint) AS width,
+         cast(64 + (ascii(substr(h, 2, 1)) % 8) * 32 as bigint) AS height,
+         cast(1 + ascii(substr(h, 3, 1)) % 3 as bigint) AS channels,
+         cast(case when media_type <> 'video' then 1
+                   else 8 + ascii(substr(h, 4, 1)) % 120 end as bigint)
+           AS n_frames,
+         cast(ascii(substr(h, 5, 1)) % 128 as bigint) AS mean_pixel
+  FROM dec)
+"""
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import decode_media, synth_media
+
+    _views(spark, sf_dir, ["documents"])
+    out = decode_media(synth_media(spark.table("documents")))
+    return out.select(
+        "doc_id", "media_ref", "media_type",
+        "width", "height", "channels", "n_frames", "mean_pixel",
+    )
+
+
+ORACLE_MEDIA_DECODE = f"""
+WITH {_MEDIA_CTE}
+SELECT doc_id, media_ref, media_type, width, height, channels, n_frames,
+       mean_pixel
+FROM decoded
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import decode_media, frame_sample, synth_media
+
+    _views(spark, sf_dir, ["documents"])
+    dec = decode_media(synth_media(spark.table("documents")))
+    return frame_sample(dec, every=10).select(
+        "doc_id", "media_ref", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+ORACLE_FRAME_SAMPLE = f"""
+WITH {_MEDIA_CTE}
+SELECT doc_id, media_ref,
+       cast(unnest(range(0, n_frames, 10)) as bigint) AS frame_idx
+FROM decoded WHERE media_type = 'video'
+"""
+
+
+# ---------------------------------------------------------------------
+# events rollup
+# ---------------------------------------------------------------------
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rollup import hourly_rollup
+
+    _views(spark, sf_dir, ["events"])
+    out = hourly_rollup(spark.table("events"))
+    return out.select(
+        "hour",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.col("min_event_id").cast("long").alias("min_event_id"),
+        F.col("max_event_id").cast("long").alias("max_event_id"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+ORACLE_EVENTS_ROLLUP = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       event_type,
+       cast(count(*) as bigint) AS n_events,
+       cast(sum(cast(floor(value * 100.0) as bigint)) as bigint)
+         AS sum_cents,
+       cast(min(event_id) as bigint) AS min_event_id,
+       cast(max(event_id) as bigint) AS max_event_id,
+       cast(count(DISTINCT user_id) as bigint) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+PIPELINE_QUERIES: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "dedup_minhash_signature": (q_minhash_signature, ORACLE_MINHASH_SIG),
+    "dedup_minhash_lsh": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH),
+    "dedup_simhash": (q_simhash_sig, ORACLE_SIMHASH_SIG),
+    "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
+    "text_token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
+    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "text_langid": (q_langid, ORACLE_LANGID),
+    "text_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "knn_cosine": (q_knn_cosine, ORACLE_KNN_COSINE),
+    "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),
+    "media_decode": (q_media_decode, ORACLE_MEDIA_DECODE),
+    "media_frame_sample": (q_frame_sample, ORACLE_FRAME_SAMPLE),
+    "events_rollup": (q_events_rollup, ORACLE_EVENTS_ROLLUP),
+}

@@ -1,0 +1,236 @@
+"""Training-data pipeline operator tests (semantic assertions — the
+engine-vs-DuckDB parity gate lives in tools/check_gate.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nutch_spark.pipeline.dedup_docs import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from nutch_spark.pipeline.multimodal import (
+    decode_media,
+    frame_sample,
+    media_features,
+    synth_media,
+)
+from nutch_spark.pipeline.rollup import hourly_rollup
+from nutch_spark.pipeline.similarity import knn_cosine, knn_ivf, knn_numpy
+from nutch_spark.pipeline.textstats import (
+    detect_language,
+    fingerprints,
+    quality_scores,
+    token_stats,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near a river bank today"
+
+
+def docs_df(spark):
+    rows = [
+        Row(doc_id=0, text=BASE),
+        Row(doc_id=1, text=BASE),  # exact dup of 0
+        Row(doc_id=2, text=BASE + " extra trailing words here"),  # near dup
+        Row(doc_id=3, text="completely different content about spark "
+                           "shuffles and partitions and executors at scale"),
+        Row(doc_id=4, text="short text"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_groups(spark):
+    out = {r.canonical_id: r.n_copies for r in exact_dedup(docs_df(spark)).collect()}
+    assert out[0] == 2  # docs 0+1 collapse, canonical = min id
+    assert out[2] == 1 and out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    pairs = {(r.a, r.b): r.jaccard for r in
+             ngram_jaccard_pairs(docs_df(spark), threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs  # unrelated
+
+
+def test_minhash_lsh_recovers_dups(spark):
+    sigs = minhash_signatures(docs_df(spark)).collect()
+    by_id = {r.id: [r[f"mh_{i}"] for i in range(8)] for r in sigs}
+    assert by_id[0] == by_id[1]  # identical docs → identical signature
+    pairs = {(r.a, r.b) for r in
+             minhash_dedup_pairs(docs_df(spark), threshold=0.5).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_means_close(spark):
+    h = {r.id: r.simhash for r in simhash(docs_df(spark)).collect()}
+    assert h[0] == h[1]
+    assert 0 <= h[0] < (1 << 16)
+    pairs = {(r.a, r.b): r.hamming for r in
+             simhash_pairs(docs_df(spark), max_distance=4).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_token_stats_counts(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="ab cd, ef! 12")])
+    r = token_stats(df).collect()[0]
+    assert r.n_tokens == 4
+    assert r.n_punct == 2  # ',' and '!'
+    assert r.n_alnum == 8
+    assert r.n_bpe_pieces == 6
+    assert r.n_chars == 13
+
+
+def test_quality_monotone_in_length(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a b"), Row(doc_id=1, text=(BASE + " ") * 20)]
+    )
+    q = {r.doc_id: r.quality for r in quality_scores(df).collect()}
+    assert q[1] > q[0]
+
+
+def test_langid_english(spark):
+    out = detect_language(docs_df(spark)).collect()
+    assert all(r.detected_lang == "en" for r in out)
+    assert all(r.hits_en > 0 for r in out if r.doc_id in (0, 1, 2))
+
+
+def test_fingerprint_stable_and_dedup_friendly(spark):
+    fp = {r.doc_id: r.fingerprint for r in fingerprints(docs_df(spark)).collect()}
+    assert fp[0] == fp[1]  # identical docs → identical fingerprint
+    assert fp[0] != fp[3]
+    assert len(fp[0].split(",")) == 4
+
+
+def emb_df(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),   # closest to 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.95, 0.05]),  # closest to 2
+        Row(vec_id=4, embedding=[-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_knn_cosine_neighbors(spark):
+    top1 = {
+        r.vec_id: r.neighbor_id
+        for r in knn_cosine(emb_df(spark), k=1).collect()
+    }
+    assert top1[0] == 1 and top1[1] == 0
+    assert top1[2] == 3 and top1[3] == 2
+
+
+def test_knn_numpy_matches_catalyst(spark):
+    a = knn_cosine(emb_df(spark), k=3).orderBy("vec_id", "rank").collect()
+    b = knn_numpy(emb_df(spark), k=3).orderBy("vec_id", "rank").collect()
+    assert [(r.vec_id, r.neighbor_id, r.rank) for r in a] == [
+        (r.vec_id, r.neighbor_id, r.rank) for r in b
+    ]
+    for x, y in zip(a, b):
+        assert x.sim == y.sim  # identical IEEE op sequence ⇒ exact
+
+
+def test_knn_ivf_subset_of_cluster(spark):
+    # pivots = ids < 2 → two clusters; neighbors stay within cluster
+    out = knn_ivf(emb_df(spark), k=2, n_pivots=2).collect()
+    assert all(r.vec_id != r.neighbor_id for r in out)
+    assert len(out) > 0
+
+
+def test_media_plumbing(spark):
+    docs = docs_df(spark)
+    media = synth_media(docs)
+    assert media.schema["media_bytes"].dataType.typeName() == "binary"
+    dec = decode_media(media)
+    rows = dec.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 64 <= r.width <= 64 + 7 * 32
+        assert r.channels in (1, 2, 3)
+        if r.media_type != "video":
+            assert r.n_frames == 1
+        else:
+            assert r.n_frames >= 8
+    feats = media_features(dec).collect()
+    assert all(f.n_pixels == next(r.width * r.height for r in rows
+                                  if r.doc_id == f.doc_id) for f in feats)
+
+
+def test_media_real_codecs_stubbed(spark):
+    media = synth_media(docs_df(spark))
+    with pytest.raises(Exception, match="NotImplementedError|real decoders"):
+        decode_media(media, real_codecs=True).collect()
+
+
+def test_frame_sample_stride(spark):
+    dec = decode_media(synth_media(docs_df(spark)))
+    frames = frame_sample(dec, every=10).collect()
+    vids = {r.doc_id: r.n_frames for r in dec.collect()
+            if r.media_type == "video"}
+    for doc_id, n_frames in vids.items():
+        idxs = sorted(r.frame_idx for r in frames if r.doc_id == doc_id)
+        assert idxs == list(range(0, n_frames, 10))
+
+
+def test_hourly_rollup_exact(spark):
+    rows = [
+        Row(event_id=1, ts="2024-01-01 10:05:00", user_id=7,
+            event_type="click", value=1.234),
+        Row(event_id=2, ts="2024-01-01 10:55:00", user_id=8,
+            event_type="click", value=2.5),
+        Row(event_id=3, ts="2024-01-01 11:05:00", user_id=7,
+            event_type="view", value=0.5),
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {(r.hour, r.event_type): r for r in hourly_rollup(df).collect()}
+    r = out[("2024-01-01 10", "click")]
+    assert r.n_events == 2
+    assert r.sum_cents == 123 + 250  # floor(1.234*100) + floor(2.5*100)
+    assert r.n_users == 2
+    assert out[("2024-01-01 11", "view")].n_events == 1
+
+
+def test_rollup_stream_matches_batch(spark, tmp_path):
+    from nutch_spark.pipeline.rollup import rollup_stream
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    srcdir = str(tmp_path / "events")
+    src.write.parquet(srcdir)
+    out = str(tmp_path / "out")
+    q = (
+        rollup_stream(spark, srcdir, src.schema)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    batch = hourly_rollup(src).select("hour", "event_type", "n_events",
+                                      "sum_cents")
+    # append-mode emits only watermark-closed windows; every emitted row
+    # must match the batch rollup exactly
+    emitted = got.join(
+        batch.withColumnRenamed("n_events", "bn").withColumnRenamed(
+            "sum_cents", "bs"),
+        ["hour", "event_type"],
+    )
+    assert emitted.count() == got.count()
+    bad = emitted.filter(
+        (F.col("n_events") != F.col("bn")) | (F.col("sum_cents") != F.col("bs"))
+    )
+    assert bad.count() == 0
+    assert got.count() > 0
