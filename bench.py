@@ -25,11 +25,32 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
+import threading
 import time
 
 T0 = 1_700_000_000_000
+
+# Every phase runs in its OWN python subprocess (fresh JVM): repeated
+# SparkSession create/stop cycles in one JVM — especially switching
+# between local-cluster and local masters — proved hang-prone.
+
+
+def _run_phase(phase: str, timeout: int = 900) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--phase", phase],
+        capture_output=True, text=True, timeout=timeout,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"phase {phase} produced no JSON (rc={out.returncode}): "
+        f"{out.stderr[-500:]}"
+    )
 
 
 def _run_cycle(spark, web, robots, d: str, topn: int, max_count: int) -> tuple[int, float]:
@@ -143,33 +164,62 @@ def run_e2e_crawl(executors: int, cores_per: int, hosts: int, pages: int,
         spark.stop()
 
 
-def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
+def run_queries(sf_dir: str, cores: int, per_query_sec: int = 120) -> dict[str, float]:
+    """Gate-query latencies; a watchdog cancels any query that exceeds
+    the per-query budget (recorded as -2.0) so one pathological plan
+    can't wedge the whole bench."""
     import __spark_entry__ as entry_mod
     from nutch_spark.session import get_spark
 
     spark = get_spark(cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
     times: dict[str, float] = {}
     try:
         for name, fn in entry_mod.queries().items():
             t0 = time.time()
+            done = threading.Event()
+
+            def watchdog():
+                if not done.wait(per_query_sec):
+                    sc.cancelAllJobs()
+
+            w = threading.Thread(target=watchdog, daemon=True)
+            w.start()
             try:
                 fn(spark, sf_dir).count()
                 times[name] = round(time.time() - t0, 2)
-            except Exception as exc:  # record, don't abort the bench
-                times[name] = -1.0
+            except Exception as exc:  # cancelled or failed
+                timed_out = time.time() - t0 >= per_query_sec - 1
+                times[name] = -2.0 if timed_out else -1.0
                 print(f"query {name} failed: {exc}", file=sys.stderr)
+            finally:
+                done.set()
     finally:
         spark.stop()
     return times
 
 
-def main() -> None:
+def run_phase(phase: str) -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
     n_hosts = int(os.environ.get("BENCH_HOSTS", "120000"))
     pages = int(os.environ.get("BENCH_PAGES", "20"))
+    if phase == "low":
+        return steady_cycle(1, 2, n_hosts, pages, reps=1)
+    if phase == "high":
+        return steady_cycle(4, 2, n_hosts, pages, reps=2)
+    if phase == "e2e":
+        return run_e2e_crawl(4, 8, hosts=5000, pages=60, depth=3,
+                             topn=300_000)
+    if phase == "queries":
+        return run_queries(sf_dir, cpus)
+    raise ValueError(phase)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
     execs_hi = 4
 
     t_all = time.time()
@@ -178,16 +228,15 @@ def main() -> None:
     # workers never contend with task threads — measured variance is
     # a few %, vs ±40% when the whole box saturates. The full-width
     # capability number comes from the e2e crawl below (4×8 cores).
-    low = steady_cycle(1, 2, n_hosts, pages, reps=1)
-    high = steady_cycle(execs_hi, 2, n_hosts, pages, reps=2)
+    low = _run_phase("low")
+    high = _run_phase("high")
     speedup = high["throughput_urls_per_sec"] / max(
         low["throughput_urls_per_sec"], 1e-9
     )
     eff = speedup / execs_hi
 
-    e2e = run_e2e_crawl(execs_hi, 8, hosts=5000, pages=60, depth=3,
-                        topn=300_000)
-    qtimes = run_queries(sf_dir, cpus)
+    e2e = _run_phase("e2e")
+    qtimes = _run_phase("queries")
     total = time.time() - t_all
 
     print(
@@ -217,4 +266,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        print(json.dumps(run_phase(sys.argv[2])))
+    else:
+        main()

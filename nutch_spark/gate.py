@@ -647,6 +647,267 @@ WHERE old_set OR fetch_set OR has_links
 """
 
 
+# second frontier for merge queries: overlapping URL set (even keys),
+# fetch_time strictly offset so the per-URL winner is never ambiguous
+FRONTIER_B_SQL = f"""
+SELECT
+  {_url('o_orderkey')} AS url,
+  cast(o_orderkey * 2654435761 as bigint) AS url_hash,
+  {_host('o_orderkey')} AS host,
+  cast(2 as int) AS status,
+  cast(1700000000000 + (o_orderkey % 2000) * 3600000
+       + case when o_orderkey % 3 = 0 then 50000000
+              else -50000000 end as bigint) AS fetch_time,
+  cast(0 as int) AS retries,
+  cast(2592000 as int) AS fetch_interval,
+  cast((o_orderkey % 17) * 0.25 as double) AS score,
+  md5(cast(o_orderkey % 120 as string)) AS signature,
+  cast(0 as bigint) AS modified_time
+FROM orders
+WHERE o_orderkey % 2 = 0
+"""
+
+
+def _seg_sql(mod: int, seg: str, dt: int) -> str:
+    return f"""
+SELECT {_url('o_orderkey')} AS url,
+       cast(o_orderkey * 2654435761 as bigint) AS url_hash,
+       cast(33 as int) AS status,
+       cast({CUR_MS} + {dt} as bigint) AS fetch_time,
+       '{seg}' AS segment
+FROM orders WHERE o_orderkey % {mod} = 1
+"""
+
+
+SEG_A_SQL = _seg_sql(3, "segA", 0)
+SEG_B_SQL = _seg_sql(2, "segB", 3_600_000)
+
+
+def q_crawldb_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.merge import merge_crawldbs
+
+    _views(spark, sf_dir, ["orders"])
+    fa = _null_meta(spark.sql(FRONTIER_SQL))
+    fb = _null_meta(spark.sql(FRONTIER_B_SQL))
+    out = merge_crawldbs([fa, fb])
+    return out.select(
+        "url",
+        F.col("status").cast("long").alias("status"),
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+        F.col("score").cast("double").alias("score"),
+        "signature",
+        F.col("fetch_interval").cast("long").alias("fetch_interval"),
+    )
+
+
+ORACLE_CRAWLDB_MERGE = f"""
+WITH fa AS ({FRONTIER_SQL}),
+fb AS ({FRONTIER_B_SQL}),
+u AS (SELECT * FROM fa UNION ALL SELECT * FROM fb),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY url
+        ORDER BY fetch_time DESC, score DESC, status ASC) AS rn
+      FROM u)
+SELECT url, cast(status as bigint) AS status,
+       cast(fetch_time as bigint) AS fetch_time,
+       cast(score as double) AS score, signature,
+       cast(fetch_interval as bigint) AS fetch_interval
+FROM r WHERE rn = 1
+"""
+
+
+def q_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.merge import merge_segments
+
+    _views(spark, sf_dir, ["orders"])
+    sa = spark.sql(SEG_A_SQL)
+    sb = spark.sql(SEG_B_SQL)
+    out = merge_segments([sa, sb], slice_size=1000)
+    return out.select(
+        "url",
+        F.col("status").cast("long").alias("status"),
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+        "segment",
+        F.col("slice").cast("long").alias("slice"),
+    )
+
+
+ORACLE_SEGMENT_MERGE = f"""
+WITH sa AS ({SEG_A_SQL}),
+sb AS ({SEG_B_SQL}),
+u AS (SELECT * FROM sa UNION ALL SELECT * FROM sb),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY url ORDER BY fetch_time DESC, segment DESC) AS rn
+      FROM u),
+w AS (SELECT *, row_number() OVER (ORDER BY url_hash, url) AS gpos
+      FROM r WHERE rn = 1)
+SELECT url, cast(status as bigint) AS status,
+       cast(fetch_time as bigint) AS fetch_time, segment,
+       cast(cast(floor((gpos - 1) / 1000) as int) as bigint) AS slice
+FROM w
+"""
+
+
+def q_retry_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.readdb import retry_histogram
+
+    out = retry_histogram(frontier_df(spark, sf_dir))
+    return out.select(
+        F.col("retries").cast("long").alias("retries"),
+        F.col("count").cast("long").alias("n_urls"),
+    )
+
+
+ORACLE_RETRY_HISTOGRAM = f"""
+WITH frontier AS ({FRONTIER_SQL})
+SELECT cast(retries as bigint) AS retries,
+       cast(count(*) as bigint) AS n_urls
+FROM frontier GROUP BY retries
+"""
+
+
+def q_seen_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unseen_exact audit path: seed candidates not already in the
+    frontier (the bloom filter's exact fallback)."""
+    from .operators.seen import unseen_exact
+
+    fr = frontier_df(spark, sf_dir)
+    cands = seeds_df(spark, sf_dir).select("url")
+    return unseen_exact(cands, fr).select("url")
+
+
+ORACLE_SEEN_EXACT = f"""
+WITH frontier AS ({FRONTIER_SQL}),
+seeds AS ({SEEDS_SQL})
+SELECT s.url FROM seeds s
+LEFT JOIN frontier f ON s.url = f.url
+WHERE f.url IS NULL
+"""
+
+
+def q_bloom_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-screen (rows-only: membership bit math is not
+    portable SQL; the exact audit twin is `seen_exact`). False
+    positives only ever REMOVE candidates, so rows ≤ seen_exact rows."""
+    from .functions.urls import url_hash_col
+    from .operators.seen import SeenFilter
+
+    bs = SeenFilter(n_buckets=16)
+    # the bloom keys on xxhash64(url); the derived frontier carries an
+    # arithmetic url_hash, so rehash for filter build + probe parity
+    fr = frontier_df(spark, sf_dir).withColumn(
+        "url_hash", url_hash_col(F.col("url"))
+    )
+    seen = bs.build(fr)
+    cands = seeds_df(spark, sf_dir).select(
+        "url", url_hash_col(F.col("url")).alias("url_hash")
+    )
+    return bs.unseen(cands, seen).select("url")
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.signatures import text_profile_signatures
+
+    _views(spark, sf_dir, ["documents"])
+    out = text_profile_signatures(spark.table("documents"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "profile", "signature"
+    )
+
+
+ORACLE_TEXT_PROFILE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'),
+    t -> length(t) > 2)) AS tok
+  FROM documents),
+counts AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+mx AS (SELECT doc_id, max(cnt) AS maxf FROM counts GROUP BY doc_id),
+q AS (
+  SELECT c.doc_id, c.tok,
+         cast(floor(c.cnt / qt) * qt as bigint) AS qcnt
+  FROM (SELECT c.*, case when m.maxf > 1
+                    then greatest(2, cast(floor(m.maxf * 0.01 + 0.5) as bigint))
+                    else 1 end AS qt
+        FROM counts c JOIN mx m ON c.doc_id = m.doc_id) c),
+prof AS (
+  SELECT doc_id,
+         string_agg(concat(tok, ' ', cast(qcnt as string)), chr(10)
+                    ORDER BY qcnt DESC, tok ASC) AS profile
+  FROM q WHERE qcnt > 0 GROUP BY doc_id)
+SELECT cast(doc_id as bigint) AS doc_id, profile, md5(profile) AS signature
+FROM prof
+"""
+
+
+PARSE_FOR_INDEX_SQL = f"""
+SELECT DISTINCT {_url('l_orderkey')} AS url,
+       'T' AS title,
+       concat('X-', {_url('l_orderkey')}) AS text,
+       'seg' AS segment
+FROM lineitem
+"""
+
+
+def q_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.index import index_documents
+    from .operators.linkdb import invert_links
+
+    _views(spark, sf_dir, ["orders", "lineitem"])
+    fr = frontier_df(spark, sf_dir)
+    pd_ = spark.sql(PARSE_FOR_INDEX_SQL)
+    links = links_df(spark, sf_dir)
+    outlinked = links.groupBy("from_url").agg(
+        F.collect_list(F.struct("to_url", "anchor")).alias("outlinks")
+    ).withColumnRenamed("from_url", "url")
+    ldb = invert_links(outlinked, max_inlinks=1_000_000)
+    out = index_documents(fr, pd_, ldb)
+    return out.select(
+        "url",
+        "title",
+        "text",
+        F.array_join("anchors", ",").alias("anchors_str"),
+        F.col("boost").cast("double").alias("boost"),
+        F.col("db_fetch_time").cast("long").alias("db_fetch_time"),
+        "db_signature",
+        "segment",
+    )
+
+
+ORACLE_INDEX_DOCUMENTS = f"""
+WITH frontier AS ({FRONTIER_SQL}),
+links AS ({LINKS_SQL}),
+pd AS ({PARSE_FOR_INDEX_SQL}),
+anch AS (
+  SELECT to_url AS url,
+         array_to_string(list_sort(list_distinct(list(anchor))), ',')
+           AS anchors_str
+  FROM links GROUP BY to_url)
+SELECT f.url, pd.title, pd.text,
+       coalesce(anch.anchors_str, '') AS anchors_str,
+       cast(f.score as double) AS boost,
+       cast(f.fetch_time as bigint) AS db_fetch_time,
+       f.signature AS db_signature,
+       pd.segment
+FROM frontier f
+JOIN pd ON f.url = pd.url
+LEFT JOIN anch ON f.url = anch.url
+WHERE f.status IN (2, 6)
+"""
+
+
+def q_linkrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LinkRank scores (rows-only: iterative double sums are reduction-
+    order dependent, so no cross-engine value hash; convergence and
+    formula are pytest-covered)."""
+    from .operators.linkdb import linkrank
+
+    edges = links_df(spark, sf_dir).select("from_url", "to_url")
+    return linkrank(edges, iterations=5).select(
+        "url", F.col("score").cast("double").alias("score")
+    )
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -662,4 +923,12 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "linkdb_invert": (q_linkdb, ORACLE_LINKDB),
     "node_degrees": (q_node_degrees, ORACLE_NODE_DEGREES),
     "updatedb": (q_updatedb, ORACLE_UPDATEDB),
+    "crawldb_merge": (q_crawldb_merge, ORACLE_CRAWLDB_MERGE),
+    "segment_merge": (q_segment_merge, ORACLE_SEGMENT_MERGE),
+    "readdb_retry_histogram": (q_retry_histogram, ORACLE_RETRY_HISTOGRAM),
+    "seen_exact": (q_seen_exact, ORACLE_SEEN_EXACT),
+    "text_profile_signature": (q_text_profile, ORACLE_TEXT_PROFILE),
+    "index_documents": (q_index_documents, ORACLE_INDEX_DOCUMENTS),
+    "bloom_unseen": (q_bloom_unseen, None),
+    "linkrank": (q_linkrank, None),
 }

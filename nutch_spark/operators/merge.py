@@ -1,0 +1,90 @@
+"""CrawlDbMerger + SegmentMerger — n-way dataset merges.
+
+Reference semantics:
+  * CrawlDbMerger (crawl/CrawlDbMerger.Merger.reduce,
+    CrawlDbMerger.java:75-112): union N frontiers; per URL the row
+    with the latest fetch_time wins; metadata is the union of all
+    rows' maps with the newer row's entries overriding.
+  * SegmentMerger (segment/SegmentMerger.java:126-560): union N
+    segments' outputs per URL, latest generation wins (here: latest
+    fetch_time, then segment id as tiebreak); optional slicing into
+    fixed-size output slices (sliceSize, SegmentMerger.java:381-394).
+
+Spark shape: unionByName + one window (max-by) per key — a single
+shuffle on url. The reference runs one MR job with a custom reducer;
+Catalyst's WindowGroupLimit turns the rank-1 filter into a partial
+top-1 per map side, so the shuffle carries one candidate row per
+(partition, url) — the same work its combiner did.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_crawldbs(frontiers: list[DataFrame]) -> DataFrame:
+    """Latest-fetch_time row per URL wins; metadata union with the
+    winner's (newer) entries overriding older ones."""
+    u = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frontiers)
+    w = Window.partitionBy("url").orderBy(
+        F.desc("fetch_time"), F.desc("score"), F.asc("status")
+    )
+    meta = F.coalesce(
+        F.col("metadata"), F.create_map().cast("map<string,string>")
+    )
+    ranked = u.withColumn("_r", F.row_number().over(w)).withColumn("_m", meta)
+    # per-key union with newest-row value winning: explode every map,
+    # keep the lowest-rank (newest) row's value per (url, key), fold
+    # back into one map
+    entries = ranked.select(
+        "url", "_r", F.explode_outer("_m").alias("key", "value")
+    ).filter(F.col("key").isNotNull())
+    wk = Window.partitionBy("url", "key").orderBy(F.asc("_r"))
+    kept = entries.withColumn("_rk", F.row_number().over(wk)).filter(
+        F.col("_rk") == 1
+    )
+    merged_meta = kept.groupBy("url").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("key", "value")))
+        ).alias("metadata_merged")
+    )
+    winner = ranked.filter(F.col("_r") == 1).drop("_r", "_m", "metadata")
+    return (
+        winner.join(merged_meta, "url", "left")
+        .withColumn(
+            "metadata",
+            F.coalesce(
+                F.col("metadata_merged"),
+                F.create_map().cast("map<string,string>"),
+            ),
+        )
+        .drop("metadata_merged")
+    )
+
+
+def merge_segments(
+    segments: list[DataFrame],
+    slice_size: int | None = None,
+) -> DataFrame:
+    """Per-URL latest row across segments; optional slicing adds a
+    `slice` column (row_number div slice_size — SegmentMerger's
+    sliceSize semantics, deterministic by url_hash order)."""
+    u = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), segments)
+    w = Window.partitionBy("url").orderBy(
+        F.desc("fetch_time"), F.desc("segment")
+    )
+    out = u.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") == 1
+    ).drop("_r")
+    if slice_size:
+        ws = Window.orderBy("url_hash", "url")
+        out = out.withColumn(
+            "slice",
+            F.floor((F.row_number().over(ws) - 1) / F.lit(slice_size)).cast(
+                "int"
+            ),
+        )
+    return out

@@ -157,38 +157,41 @@ class SeenFilter:
     def mark_seen(self, candidates: DataFrame, seen: DataFrame,
                   url_hash_col: str = "url_hash") -> DataFrame:
         """Add boolean `maybe_seen` to candidates (true ⇒ probably in
-        the frontier; false ⇒ DEFINITELY new — the useful guarantee)."""
-        m_bits, k = self.m_bits, self.k
-        with_bucket = candidates.withColumn(
-            "_bucket", self.bucket_col(F.col(url_hash_col))
-        )
-        # bucket table is n_buckets rows ⇒ always broadcast
-        j = with_bucket.join(
-            F.broadcast(seen.withColumnRenamed("bucket", "_bucket")),
-            "_bucket",
-            "left",
-        )
+        the frontier; false ⇒ DEFINITELY new — the useful guarantee).
 
-        @F.pandas_udf(T.BooleanType())
-        def probe(hashes: pd.Series, bitsets: pd.Series) -> pd.Series:
-            out = np.zeros(len(hashes), dtype=bool)
-            if not len(hashes):
-                return pd.Series(out)
-            # group rows by bucket bitset identity to probe vectorized
-            groups: dict[int, list[int]] = {}
-            for idx, bs in enumerate(bitsets):
-                groups.setdefault(id(bs) if bs is not None else -1, []).append(idx)
-            for _, idxs in groups.items():
-                bs = bitsets.iloc[idxs[0]]
-                if bs is None:
-                    continue  # empty bucket ⇒ definitely unseen
-                hv = hashes.iloc[idxs].to_numpy(dtype=np.int64)
-                out[np.asarray(idxs)] = _contains(bs, hv, m_bits, k)
-            return pd.Series(out)
+        The bucket table goes to the executors ONCE via an RDD
+        broadcast and each Arrow batch probes against it in NumPy. (A
+        broadcast JOIN here would materialize the megabyte bitset into
+        every candidate row and push it through Arrow per row —
+        measured ~90 s for a 1.5k-candidate probe.) At 10^10-frontier
+        scale, where the full bucket table outgrows a broadcast,
+        repartition candidates by bucket and fetch each partition's
+        single bucket row instead — same per-batch NumPy probe."""
+        m_bits, k, nb = self.m_bits, self.k, self.n_buckets
+        table = {int(r.bucket): r.bitset for r in seen.collect()}
+        bc = candidates.sparkSession.sparkContext.broadcast(table)
 
-        return j.withColumn(
-            "maybe_seen", probe(F.col(url_hash_col), F.col("bitset"))
-        ).drop("_bucket", "bitset", "n_keys")
+        def probe_batches(batches):
+            tbl = bc.value
+            for pdf in batches:
+                hv = pdf[url_hash_col].to_numpy(dtype=np.int64)
+                buckets = hv % nb  # ≙ F.pmod: non-negative for nb > 0
+                out = np.zeros(len(pdf), dtype=bool)
+                for b in np.unique(buckets):
+                    bs = tbl.get(int(b))
+                    if bs is None:
+                        continue  # empty bucket ⇒ definitely unseen
+                    mask = buckets == b
+                    out[mask] = _contains(bs, hv[mask], m_bits, k)
+                res = pdf.copy()
+                res["maybe_seen"] = out
+                yield res
+
+        out_schema = T.StructType(
+            list(candidates.schema.fields)
+            + [T.StructField("maybe_seen", T.BooleanType())]
+        )
+        return candidates.mapInPandas(probe_batches, out_schema)
 
     def unseen(self, candidates: DataFrame, seen: DataFrame,
                url_hash_col: str = "url_hash") -> DataFrame:

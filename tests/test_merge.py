@@ -1,0 +1,68 @@
+"""CrawlDbMerger / SegmentMerger semantics (CrawlDbMerger.java:75-112,
+SegmentMerger.java:126-560)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from nutch_spark.operators.merge import merge_crawldbs, merge_segments
+from nutch_spark.schema import FRONTIER
+
+
+def fr_row(url, fetch_time, score=1.0, status=1, metadata=None):
+    return Row(
+        url=url, url_hash=hash(url) % (1 << 32), host="h.example.com",
+        status=status, fetch_time=fetch_time, retries=0,
+        fetch_interval=2_592_000, score=score, signature=None,
+        modified_time=0, metadata=metadata,
+    )
+
+
+def test_merge_crawldbs_latest_wins_and_metadata_union(spark):
+    a = spark.createDataFrame(
+        [
+            fr_row("http://x/1", 100, score=1.0, metadata={"k1": "old", "k2": "a"}),
+            fr_row("http://x/2", 100),
+        ],
+        FRONTIER,
+    )
+    b = spark.createDataFrame(
+        [
+            fr_row("http://x/1", 200, score=9.0, metadata={"k1": "new", "k3": "b"}),
+            fr_row("http://x/3", 50),
+        ],
+        FRONTIER,
+    )
+    out = {r.url: r for r in merge_crawldbs([a, b]).collect()}
+    assert len(out) == 3
+    w = out["http://x/1"]
+    assert w.fetch_time == 200 and w.score == 9.0  # latest wins
+    # metadata union, newer overrides (CrawlDbMerger.java:97-104)
+    assert dict(w.metadata) == {"k1": "new", "k2": "a", "k3": "b"}
+    assert out["http://x/2"].fetch_time == 100
+    assert out["http://x/3"].fetch_time == 50
+
+
+def test_merge_segments_latest_generation_and_slicing(spark):
+    rows_a = [
+        Row(url=f"http://s/{i}", url_hash=i, status=33, fetch_time=100,
+            segment="segA")
+        for i in range(6)
+    ]
+    rows_b = [
+        Row(url=f"http://s/{i}", url_hash=i, status=33, fetch_time=200,
+            segment="segB")
+        for i in range(3)
+    ]
+    a = spark.createDataFrame(rows_a)
+    b = spark.createDataFrame(rows_b)
+    out = merge_segments([a, b], slice_size=2).collect()
+    by_url = {r.url: r for r in out}
+    assert len(by_url) == 6
+    for i in range(3):  # overlap: latest segment wins
+        assert by_url[f"http://s/{i}"].segment == "segB"
+    for i in range(3, 6):
+        assert by_url[f"http://s/{i}"].segment == "segA"
+    # slices: deterministic url_hash order, 2 per slice
+    slices = [r.slice for r in sorted(out, key=lambda r: r.url_hash)]
+    assert slices == [0, 0, 1, 1, 2, 2]
