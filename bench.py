@@ -38,19 +38,28 @@ T0 = 1_700_000_000_000
 # between local-cluster and local masters — proved hang-prone.
 
 
-def _run_phase(phase: str, timeout: int = 900) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--phase", phase],
-        capture_output=True, text=True, timeout=timeout,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
-    for line in reversed(out.stdout.strip().splitlines()):
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(
-        f"phase {phase} produced no JSON (rc={out.returncode}): "
-        f"{out.stderr[-500:]}"
-    )
+def _run_phase(phase: str, timeout: int = 1800, retries: int = 1) -> dict:
+    for attempt in range(retries + 1):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", phase],
+                capture_output=True, text=True, timeout=timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            if attempt < retries:
+                continue
+            raise
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        if attempt < retries:
+            continue
+        raise RuntimeError(
+            f"phase {phase} produced no JSON (rc={out.returncode}): "
+            f"{out.stderr[-500:]}"
+        )
+    raise RuntimeError(f"phase {phase} failed after retries")
 
 
 def _run_cycle(spark, web, robots, d: str, topn: int, max_count: int) -> tuple[int, float]:

@@ -423,6 +423,49 @@ LIMIT 500
 """
 
 
+def q_generate_multiseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-segment spill: per-host overflow beyond maxCount lands in
+    segments 2..maxNumSegments (Generator.java:296-340 keep counts:
+    segment 1 gets maxCount−1, later segments maxCount each)."""
+    from .operators.generate import generate
+
+    out = generate(
+        frontier_df(spark, sf_dir),
+        CUR_MS,
+        "seg0001",
+        top_n=-1,
+        max_count=20,
+        count_mode="host",
+        max_num_segments=3,
+    )
+    return out.select(
+        "url",
+        F.col("score").cast("double").alias("score"),
+        "segment",
+    )
+
+
+ORACLE_GENERATE_MULTISEG = f"""
+WITH frontier AS ({FRONTIER_SQL}),
+due AS (
+  SELECT * FROM frontier
+  WHERE fetch_time - {CUR_MS} > 7776000000 OR fetch_time <= {CUR_MS}
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY host ORDER BY score DESC, url_hash ASC) AS rn
+  FROM due),
+seg AS (
+  SELECT *, case when rn <= 19 then 1
+                 else 2 + cast(floor((rn - 20) / 20.0) as int) end AS segnum
+  FROM ranked)
+SELECT url, cast(score as double) AS score,
+       case when segnum = 1 then 'seg0001'
+            else concat('seg0001', '-', cast(segnum as string)) end AS segment
+FROM seg WHERE segnum <= 3
+"""
+
+
 def q_linkdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.linkdb import invert_links
 
@@ -920,6 +963,7 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "dedup_mark": (q_dedup_mark, ORACLE_DEDUP_MARK),
     "inject": (q_inject, ORACLE_INJECT),
     "generate_topn": (q_generate, ORACLE_GENERATE),
+    "generate_multiseg": (q_generate_multiseg, ORACLE_GENERATE_MULTISEG),
     "linkdb_invert": (q_linkdb, ORACLE_LINKDB),
     "node_degrees": (q_node_degrees, ORACLE_NODE_DEGREES),
     "updatedb": (q_updatedb, ORACLE_UPDATEDB),

@@ -55,6 +55,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..constants import (
     Defaults,
@@ -94,19 +95,28 @@ def fetch(
     allow_forbidden: bool = False,
     retry_frac: float = 0.0,
     num_partitions: int | None = None,
+    queue_mode: str = "byHost",  # byHost | byDomain (fetcher.queue.mode)
 ) -> DataFrame:
     """Run the simulated fetch over a fetchlist; returns fetch_results."""
+    from ..functions.urls import get_domain  # noqa: PLC0415
+
     spark = fetchlist.sparkSession
     robots_bc = spark.sparkContext.broadcast(robots)
     nparts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     tpq = max(threads_per_queue, 1)
+    by_domain = queue_mode == "byDomain"
 
     def process_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        """One host-sorted block of complete host groups, single pass."""
+        """One queue-sorted block of complete queue groups, single pass.
+
+        The politeness slot counter is per queue key (host, or
+        registered domain for byDomain — FetchItem.create,
+        fetcher/FetchItem.java:60-101); robots rules stay per host."""
         urls = pdf["url"].to_list()
         hosts = pdf["host"].to_list()
+        qkeys = pdf["_qkey"].to_list()
         n = len(urls)
         statuses = [0] * n
         ftimes = [cur_time_ms] * n
@@ -115,22 +125,23 @@ def fetch(
         spans_out: list = [None] * n
 
         robots_all = robots_bc.value
-        cur_host: str | None = None
-        rules: dict | None = None
-        delay_ms = 0
-        blocked = False
+        host_info: dict[str, tuple] = {}
+        cur_q: str | None = None
         slot = 0
         for i in range(n):
+            if qkeys[i] != cur_q:
+                cur_q = qkeys[i]
+                slot = 0
             h = hosts[i]
-            if h != cur_host:
-                cur_host = h
+            info = host_info.get(h)
+            if info is None:
                 rules = robots_all.get(h)
                 delay = default_delay
                 if rules is not None and rules.get("crawl_delay") is not None:
                     delay = float(rules["crawl_delay"])
-                delay_ms = int(delay * 1000)
-                blocked = delay > max_crawl_delay
-                slot = 0
+                info = (rules, int(delay * 1000), delay > max_crawl_delay)
+                host_info[h] = info
+            rules, delay_ms, blocked = info
             if blocked:
                 # host skipped entirely (FetcherThread.java:273-283)
                 statuses[i] = STATUS_FETCH_GONE
@@ -212,10 +223,10 @@ def fetch(
                 carry = None
             if not len(pdf):
                 continue
-            hosts = pdf["host"].to_numpy()
-            # rows of the batch's last host may continue in the next
+            keys = pdf["_qkey"].to_numpy()
+            # rows of the batch's last queue may continue in the next
             # batch — carry them over so the group stays whole
-            cut = int(np.flatnonzero(hosts == hosts[-1])[0])
+            cut = int(np.flatnonzero(keys == keys[-1])[0])
             carry = pdf.iloc[cut:]
             head = pdf.iloc[:cut]
             if len(head):
@@ -223,7 +234,25 @@ def fetch(
         if carry is not None and len(carry):
             yield process_block(carry)
 
-    part = fetchlist.repartition(nparts, "host").sortWithinPartitions(
-        "host", "url_hash"
+    if by_domain:
+        # registered-domain queue key via the domain suffix table
+        from pyspark.sql import types as T  # noqa: PLC0415
+
+        @F.pandas_udf(T.StringType())
+        def _domain_key(hosts_s: pd.Series) -> pd.Series:
+            return pd.Series(
+                [get_domain(h) or h for h in hosts_s], index=hosts_s.index
+            )
+
+        keyed = fetchlist.withColumn("_qkey", _domain_key(F.col("host")))
+    else:
+        keyed = fetchlist.withColumn("_qkey", F.col("host"))
+
+    part = keyed.repartition(nparts, "_qkey").sortWithinPartitions(
+        "_qkey", "url_hash"
     )
-    return part.mapInPandas(fetch_partition, FETCH_RESULTS)
+    out = part.mapInPandas(
+        fetch_partition,
+        FETCH_RESULTS,
+    )
+    return out

@@ -81,3 +81,51 @@ def topn(frontier: DataFrame, n: int, min_score: float | None = None) -> DataFra
 
 def read_url(frontier: DataFrame, url: str) -> DataFrame:
     return frontier.filter(F.col("url") == url)
+
+
+def dump_format(frontier: DataFrame, fmt: str = "csv") -> DataFrame:
+    """Dump projection in the reference's -dump formats
+    (CrawlDbReader.java:109-177, 481-525): 'csv' = flat columns ready
+    for df.write.csv; 'normal' = one formatted text line per URL."""
+    name_expr = F.create_map(
+        *[x for code, name in sorted(STATUS_NAMES.items())
+          for x in (F.lit(code), F.lit(name))]
+    )
+    flat = frontier.select(
+        "url",
+        F.col("status"),
+        name_expr[F.col("status")].alias("status_name"),
+        F.col("fetch_time"),
+        F.col("retries"),
+        F.col("fetch_interval"),
+        F.col("score"),
+        F.col("signature"),
+        F.col("modified_time"),
+    )
+    if fmt == "csv":
+        return flat
+    if fmt == "normal":
+        return flat.select(
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("URL: "), F.col("url")),
+                F.concat(
+                    F.lit("Status: "),
+                    F.col("status").cast("string"),
+                    F.lit(" ("),
+                    F.col("status_name"),
+                    F.lit(")"),
+                ),
+                F.concat(F.lit("Fetch time: "),
+                         F.col("fetch_time").cast("string")),
+                F.concat(F.lit("Retries since fetch: "),
+                         F.col("retries").cast("string")),
+                F.concat(F.lit("Retry interval: "),
+                         F.col("fetch_interval").cast("string"),
+                         F.lit(" seconds")),
+                F.concat(F.lit("Score: "), F.col("score").cast("string")),
+                F.concat(F.lit("Signature: "),
+                         F.coalesce(F.col("signature"), F.lit("null"))),
+            ).alias("entry")
+        )
+    raise ValueError(f"unknown dump format: {fmt}")

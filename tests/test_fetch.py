@@ -158,3 +158,23 @@ def test_deterministic_across_parallelism(spark):
     ka = sorted((r.url, r.status, r.fetch_time) for r in a.collect())
     kb = sorted((r.url, r.status, r.fetch_time) for r in b.collect())
     assert ka == kb
+
+
+def test_queue_mode_by_domain(spark):
+    """byDomain queue mode: hosts sharing a registered domain share one
+    politeness queue (FetchItem.create, fetcher/FetchItem.java:60-101).
+    Synthetic hosts host0/host3 both live in example0.com."""
+    cfg = WebConfig(n_hosts=6, pages_per_host=2, zipf=False,
+                    gone_frac=0, redir_frac=0)
+    urls = [page_url(cfg, h, i) for h in (0, 3) for i in range(2)]
+    fl = make_fetchlist(spark, cfg, urls)
+    res = fetch(fl, robots_map(cfg), cfg, T0, queue_mode="byDomain").collect()
+    assert len(res) == 4
+    ts = sorted(r.fetch_time for r in res)
+    # one shared queue of 4 items at 5s delay ⇒ makespan ≥ 3×5s and all
+    # timestamps distinct
+    assert ts[-1] - ts[0] >= 3 * 5000
+    assert len(set(ts)) == 4
+    # byHost: the two hosts run concurrently ⇒ two fetches at T0
+    res_h = fetch(fl, robots_map(cfg), cfg, T0).collect()
+    assert sorted(r.fetch_time for r in res_h)[:2] == [T0, T0]
