@@ -828,6 +828,29 @@ WHERE f.url IS NULL
 """
 
 
+def q_updatedb_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """updatedb with the ADAPTIVE fetch schedule (rows-only: the
+    interval arithmetic runs through float32 seeds whose cast-to-long
+    truncation semantics differ across engines at sub-second
+    granularity; the 113-case pytest matrix covers the formula)."""
+    from .operators.updatedb import updatedb
+
+    out = updatedb(
+        spark,
+        frontier_df(spark, sf_dir),
+        fetch_results_df(spark, sf_dir),
+        crawl_parse_df(spark, sf_dir),
+        CUR_MS,
+        schedule="adaptive",
+    )
+    return out.select(
+        "url",
+        F.col("status").cast("long").alias("status"),
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+        F.col("fetch_interval").cast("long").alias("fetch_interval"),
+    )
+
+
 def q_bloom_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter pre-screen (rows-only: membership bit math is not
     portable SQL; the exact audit twin is `seen_exact`). False
@@ -975,4 +998,5 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "index_documents": (q_index_documents, ORACLE_INDEX_DOCUMENTS),
     "bloom_unseen": (q_bloom_unseen, None),
     "linkrank": (q_linkrank, None),
+    "updatedb_adaptive": (q_updatedb_adaptive, None),
 }

@@ -129,3 +129,62 @@ def dump_format(frontier: DataFrame, fmt: str = "csv") -> DataFrame:
             ).alias("entry")
         )
     raise ValueError(f"unknown dump format: {fmt}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI twin of `nutch readdb` (CrawlDbReader.run,
+    CrawlDbReader.java:642-684): -stats | -dump | -topN | -url over a
+    SnapshotStore warehouse."""
+    import argparse
+    import json as _json
+
+    from ..session import get_spark
+    from ..store import SnapshotStore
+
+    ap = argparse.ArgumentParser(description="frontier query surface")
+    ap.add_argument("--warehouse", required=True)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("stats").add_argument("--by-host", action="store_true")
+    d = sub.add_parser("dump")
+    d.add_argument("--status", type=int)
+    d.add_argument("--min-retries", type=int)
+    d.add_argument("--regex")
+    d.add_argument("--expr")
+    d.add_argument("--format", default="csv", choices=["csv", "normal"])
+    d.add_argument("--out")
+    t = sub.add_parser("topn")
+    t.add_argument("n", type=int)
+    t.add_argument("--min-score", type=float)
+    u = sub.add_parser("url")
+    u.add_argument("url")
+    args = ap.parse_args(argv)
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    fr = SnapshotStore(args.warehouse).read(spark, "frontier")
+    if args.cmd == "stats":
+        for row in stats(fr, by_host=getattr(args, "by_host", False)).collect():
+            print(_json.dumps(row.asDict(), default=str))
+    elif args.cmd == "dump":
+        df = dump(fr, status=args.status, min_retries=args.min_retries,
+                  url_regex=args.regex, expr=args.expr)
+        out = dump_format(df, args.format)
+        if args.out:
+            (out.write.mode("overwrite").csv(args.out)
+             if args.format == "csv"
+             else out.write.mode("overwrite").text(args.out))
+        else:
+            for row in out.limit(100).collect():
+                print(row[0] if args.format == "normal" else _json.dumps(
+                    row.asDict(), default=str))
+    elif args.cmd == "topn":
+        for row in topn(fr, args.n, args.min_score).collect():
+            print(_json.dumps(
+                {"url": row.url, "score": row.score}, default=str))
+    elif args.cmd == "url":
+        for row in read_url(fr, args.url).collect():
+            print(_json.dumps(row.asDict(), default=str))
+
+
+if __name__ == "__main__":
+    main()
