@@ -37,8 +37,10 @@ _UNRESERVED = set(
 _PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
 _NORMALIZABLE_PATH_RE = re.compile(r"/[./]|[.]/|/\Z|//")
 # fast-path: URL already canonical if it matches this shape and has no
-# percent-escapes, dots segments, fragments, upper-case scheme/host
-_FAST_OK_RE = re.compile(r"\Ahttps?://[a-z0-9.\-]+(?::\d+)?/[^#%\\\s]*\Z")
+# percent-escapes, dots segments, fragments, upper-case scheme/host.
+# Explicit ports must start 1-9: a leading-zero port (:080) normalizes
+# to a different spelling, so it must NOT pass the identity fast path.
+_FAST_OK_RE = re.compile(r"\Ahttps?://[a-z0-9.\-]+(?::[1-9]\d*)?/[^#%\\\s]*\Z")
 _FAST_BAD_RE = re.compile(r"/\.|//|\.\./|:80/|:443/")
 
 
@@ -141,7 +143,7 @@ def normalize_urls(s: pd.Series) -> pd.Series:
 # and every RLike call converts UTF8String→String before matching —
 # profiling showed regex eval dominating parse CPU — so everything else
 # below uses native contains/startswith/substring ops.
-_FAST_OK_J = r"\Ahttps?://[a-z0-9.\-]+(:\d+)?/[^#%\\\s]*\Z"
+_FAST_OK_J = r"\Ahttps?://[a-z0-9.\-]+(:[1-9]\d*)?/[^#%\\\s]*\Z"
 
 
 def is_canonical(url_col):
@@ -175,9 +177,11 @@ def with_normalized(df, src: str, dst: str):
     # partitions first so the Arrow python stage pays per-task worker
     # handshakes on 8 tasks, not on every scan partition (measured:
     # ~10 s of pure handshake overhead on an EMPTY slow side at 32
-    # tasks × 2 python stages)
+    # tasks × 2 python stages). NULL src makes is_canonical NULL, which
+    # both plain filters would drop — coalesce routes those rows to the
+    # slow path (normalize(NULL) = NULL) so no row silently vanishes.
     slow = (
-        df.filter(~is_canonical(F.col(src)))
+        df.filter(~F.coalesce(is_canonical(F.col(src)), F.lit(False)))
         .repartition(8)
         .withColumn(dst, normalize_urls(F.col(src)))
     )
@@ -317,6 +321,28 @@ def host_of_pd(s: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def domain_of(hosts: pd.Series) -> pd.Series:
     return pd.Series([get_domain(h) for h in hosts], index=hosts.index)
+
+
+def domain_col(host_col):
+    """Registered domain as a pure JVM Column expression — same
+    decisions as `get_domain`, usable inside array lambdas (pandas UDFs
+    are rejected there: UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF)
+    and free of the Arrow python-stage cost on the per-link hot path."""
+    parts = F.split(host_col, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    return (
+        F.when(host_col.isNull(), F.lit(None).cast("string"))
+        .when(n <= 2, host_col)
+        .when(last2.isin(*sorted(_TWO_LEVEL_SUFFIXES)), last3)
+        .otherwise(last2)
+    )
 
 
 def url_hash_col(url_col):

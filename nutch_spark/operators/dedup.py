@@ -31,7 +31,7 @@ from ..constants import (
     STATUS_DB_FETCHED,
     STATUS_DB_NOTMODIFIED,
 )
-from ..functions.urls import domain_of
+from ..functions.urls import domain_col
 
 
 def _order_cols(compare_order: str) -> list[Column]:
@@ -63,7 +63,7 @@ def dedup(
     if group_mode == "host":
         gkey = F.concat_ws("|", F.col("signature"), F.col("host"))
     elif group_mode == "domain":
-        gkey = F.concat_ws("|", F.col("signature"), domain_of(F.col("host")))
+        gkey = F.concat_ws("|", F.col("signature"), domain_col(F.col("host")))
     else:
         gkey = F.col("signature")
 

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..constants import Defaults, META_GENERATE_TIME
 from ..functions.schedules import clamped_interval, should_fetch
-from ..functions.urls import accept_urls, domain_of
+from ..functions.urls import accept_urls, domain_col
 
 
 def generate(
@@ -81,7 +81,7 @@ def generate(
 
     # per-host/domain cap with the reference's keep counts
     if max_count > 0:
-        key = F.col("host") if count_mode == "host" else domain_of(F.col("host"))
+        key = F.col("host") if count_mode == "host" else domain_col(F.col("host"))
         w = Window.partitionBy(key).orderBy(F.desc("score"), F.asc("url_hash"))
         r = F.row_number().over(w)
         segnum = (

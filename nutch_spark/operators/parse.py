@@ -51,7 +51,7 @@ from ..constants import (
 )
 from ..functions.urls import (
     accept_urls,
-    domain_of,
+    domain_col,
     host_of,
     is_canonical,
     with_normalized,
@@ -97,7 +97,9 @@ def _host_kind_filter(
         return F.lit(True)
     to_host = host_of(to_url)
     if external_mode == "byDomain":
-        return domain_of(to_host) == domain_of(page_host)
+        # domain_col, not the pandas UDF: this predicate runs inside an
+        # array lambda on the fast path, where python UDFs are rejected
+        return domain_col(to_host) == domain_col(page_host)
     return to_host == page_host
 
 
@@ -169,8 +171,13 @@ def finish_pages(
     """Outlink pipeline over extracted pages → parse_data."""
 
     # --- fast path: every outlink already canonical → pure array ops ---
-    all_canonical = ~F.exists(
-        F.col("raw_outlinks"), lambda u: ~is_canonical(u)
+    # NULL-safe: a NULL outlink element (schema allows null media_ref)
+    # makes EXISTS evaluate to NULL, and a plain filter pair would drop
+    # the page from BOTH paths — coalesce sends null-bearing pages down
+    # the slow path, which filters null links per-element.
+    all_canonical = F.coalesce(
+        ~F.exists(F.col("raw_outlinks"), lambda u: ~is_canonical(u)),
+        F.lit(False),
     )
     fast = base.filter(all_canonical)
     ext_ok = (
@@ -329,7 +336,7 @@ def _slow_outlink_pipeline(
     if ignore_external:
         to_host = host_of(F.col("to_url"))
         if external_mode == "byDomain":
-            ex = ex.filter(domain_of(to_host) == domain_of(F.col("host")))
+            ex = ex.filter(domain_col(to_host) == domain_col(F.col("host")))
         else:
             ex = ex.filter(to_host == F.col("host"))
     w_dup = Window.partitionBy("url", "to_url").orderBy("pos")

@@ -139,8 +139,11 @@ def knn_numpy(
                 s = sims[r].copy()
                 mask = b_ids == me
                 s[mask] = -np.inf
-                # total order: sim desc, id asc
-                order = np.lexsort((b_ids, -s))[:k]
+                # total order: sim desc, id asc; drop the -inf self
+                # slot BEFORE slicing so k >= n never emits a self-pair
+                # (knn_cosine and the oracle exclude self via a != b)
+                order = np.lexsort((b_ids, -s))
+                order = order[s[order] > -np.inf][:k]
                 for rank, j in enumerate(order, start=1):
                     out["vec_id"].append(me)
                     out["neighbor_id"].append(b_ids[j])

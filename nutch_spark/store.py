@@ -46,12 +46,28 @@ class SnapshotStore:
     def _pointer(self, table: str) -> str:
         return os.path.join(self._table_dir(table), "CURRENT")
 
-    def current_snapshot(self, table: str) -> int | None:
+    def _pointer_state(self, table: str) -> tuple[int, str] | None:
+        """(snapshot, mode) from CURRENT; mode ∈ {overwrite, append}.
+
+        The mode rides in the pointer file so it commits atomically with
+        the snapshot id — a table can never be observed with a new
+        snapshot under the old read semantics. Legacy single-token
+        pointers fall back to the APPEND flag file."""
         try:
             with open(self._pointer(table)) as f:
-                return int(f.read().strip())
+                toks = f.read().split()
         except FileNotFoundError:
             return None
+        if len(toks) >= 2:
+            return int(toks[0]), toks[1]
+        legacy_append = os.path.exists(
+            os.path.join(self._table_dir(table), "APPEND")
+        )
+        return int(toks[0]), "append" if legacy_append else "overwrite"
+
+    def current_snapshot(self, table: str) -> int | None:
+        st = self._pointer_state(table)
+        return None if st is None else st[0]
 
     def exists(self, table: str) -> bool:
         return self.current_snapshot(table) is not None
@@ -73,34 +89,44 @@ class SnapshotStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        self._advance(table, nxt)
+        # a full-history write flips the table back to overwrite mode in
+        # the same atomic pointer swap, so a later read never unions a
+        # full snapshot with earlier incremental ones (double counting)
+        self._advance(table, nxt, mode="overwrite")
         return nxt
 
     def append(self, df: DataFrame, table: str) -> int:
         """Append-only commit: the new snapshot dir holds ONLY the new
         rows and `read` unions every committed snapshot (Iceberg
         append-snapshot semantics). Used for the metrics/lineage table
-        so per-stage counter writes are O(new rows), not O(history)."""
-        cur = self.current_snapshot(table)
-        nxt = 0 if cur is None else cur + 1
+        so per-stage counter writes are O(new rows), not O(history).
+
+        Refuses to append to a table whose existing snapshots are
+        full-history `write()` commits: unioning a full snapshot with
+        incremental ones would double-count every historical row."""
+        st = self._pointer_state(table)
+        if st is not None and st[1] != "append":
+            raise ValueError(
+                f"table {table} has overwrite-style snapshots; append() "
+                "would double-count history — use write(), or start a "
+                "fresh table for incremental commits"
+            )
+        nxt = 0 if st is None else st[0] + 1
         path = self.snapshot_path(table, nxt)
         df.write.mode("overwrite").parquet(path)
-        flag = os.path.join(self._table_dir(table), "APPEND")
-        if not os.path.exists(flag):
-            with open(flag, "w") as f:
-                f.write("1")
-        self._advance(table, nxt)
+        self._advance(table, nxt, mode="append")
         return nxt
 
     def _is_append(self, table: str) -> bool:
-        return os.path.exists(os.path.join(self._table_dir(table), "APPEND"))
+        st = self._pointer_state(table)
+        return st is not None and st[1] == "append"
 
-    def _advance(self, table: str, snapshot: int) -> None:
+    def _advance(self, table: str, snapshot: int, mode: str = "overwrite") -> None:
         ptr = self._pointer(table)
         os.makedirs(os.path.dirname(ptr), exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(ptr))
         with os.fdopen(fd, "w") as f:
-            f.write(str(snapshot))
+            f.write(f"{snapshot} {mode}")
         os.replace(tmp, ptr)  # atomic pointer swap = snapshot commit
 
     def read(self, spark: SparkSession, table: str, snapshot: int | None = None) -> DataFrame:
@@ -119,7 +145,8 @@ class SnapshotStore:
     def rollback(self, table: str, snapshot: int) -> None:
         if not os.path.isdir(self.snapshot_path(table, snapshot)):
             raise FileNotFoundError(f"{table}@{snapshot} not retained")
-        self._advance(table, snapshot)
+        mode = "append" if self._is_append(table) else "overwrite"
+        self._advance(table, snapshot, mode=mode)
 
     def expire_snapshots(self, table: str, keep: int = 2) -> None:
         """Drop all but the newest `keep` snapshots (Iceberg expire_snapshots)."""

@@ -139,3 +139,26 @@ def test_metrics_lineage_written(spark, tmp_path):
     assert {"inject", "fetch", "updatedb"} <= stages
     # per-partition lineage rows present
     assert m.filter((F.col("counter") == "rows") & (F.col("partition_id") >= 0)).count() > 0
+
+
+def test_store_append_write_mode_discipline(spark, tmp_path):
+    """Regression (round-2 ADVICE): append() on an overwrite-history
+    table must refuse (read would union full snapshots = double count),
+    and write() on an append table must atomically flip it back so the
+    next read sees only the full snapshot."""
+    from nutch_spark.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "s"))
+    df3 = spark.range(3).toDF("id")
+    store.write(df3, "t")
+    with pytest.raises(ValueError):
+        store.append(df3, "t")
+
+    store.append(df3, "m")
+    store.append(df3, "m")
+    assert store.read(spark, "m").count() == 6
+    store.write(spark.range(4).toDF("id"), "m")
+    assert store.read(spark, "m").count() == 4
+    # and appending after a full write refuses again
+    with pytest.raises(ValueError):
+        store.append(df3, "m")

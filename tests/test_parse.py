@@ -194,3 +194,56 @@ def test_text_excludes_href_tokens(spark):
     pd_ = parse(df)[0].collect()[0]
     assert "href:" not in pd_.text
     assert "hello" in pd_.text and "world" in pd_.text
+
+
+def test_ignore_external_by_domain_fast_path(spark):
+    """Regression (round-2 ADVICE): the byDomain predicate used a pandas
+    UDF inside an array lambda, which Spark rejects at plan time
+    (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF). Sibling host
+    in the same registered domain is kept; foreign domain dropped."""
+    spans = spans_of(
+        ("media", "http://b.site.com/in"),
+        ("media", "http://other.net/out"),
+    )
+    df = spark.createDataFrame(
+        [fetch_result_row("http://a.site.com/p", spans)], FETCH_RESULTS
+    )
+    pd_, _ = parse(df, ignore_external=True, external_mode="byDomain")
+    assert [o.to_url for o in pd_.collect()[0].outlinks] == [
+        "http://b.site.com/in"
+    ]
+
+
+def test_ignore_external_by_domain_slow_path(spark):
+    """Same mode through the explode path (non-canonical link forces it)."""
+    spans = spans_of(
+        ("media", "http://b.site.com/in/../x"),
+        ("media", "http://other.net/out"),
+    )
+    df = spark.createDataFrame(
+        [fetch_result_row("http://a.site.com/p", spans)], FETCH_RESULTS
+    )
+    pd_, _ = parse(df, ignore_external=True, external_mode="byDomain")
+    assert [o.to_url for o in pd_.collect()[0].outlinks] == [
+        "http://b.site.com/x"
+    ]
+
+
+def test_null_outlink_element_page_survives(spark):
+    """Regression (round-2 ADVICE): a NULL raw outlink (media span with
+    null media_ref) made the canonical predicate NULL and the page
+    vanished from parse_data — including its signature datum."""
+    from pyspark.sql import Row as R
+
+    spans = [
+        R(kind="media", text=None, media_ref=None, offset=0),
+        R(kind="media", text=None, media_ref="http://h.example.com/a", offset=1),
+    ]
+    df = spark.createDataFrame(
+        [fetch_result_row("http://h.example.com/p", spans)], FETCH_RESULTS
+    )
+    pd_, cp = parse(df)
+    rows = pd_.collect()
+    assert len(rows) == 1
+    assert [o.to_url for o in rows[0].outlinks] == ["http://h.example.com/a"]
+    assert cp.filter(F.col("status") == STATUS_SIGNATURE).count() == 1

@@ -234,3 +234,15 @@ def test_rollup_stream_matches_batch(spark, tmp_path):
     )
     assert bad.count() == 0
     assert got.count() > 0
+
+
+def test_knn_numpy_k_exceeds_corpus_excludes_self(spark):
+    """Regression (round-2 ADVICE): with k >= n the -inf self slot used
+    to leak into the top-k slice as a self-pair."""
+    out = knn_numpy(emb_df(spark), k=100).collect()
+    assert out
+    assert all(r.vec_id != r.neighbor_id for r in out)
+    from collections import Counter
+
+    per_vec = Counter(r.vec_id for r in out)
+    assert set(per_vec.values()) == {4}  # n-1 neighbors each, n=5

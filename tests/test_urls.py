@@ -33,6 +33,7 @@ NORM_CASES = [
     ("http://foo.com/path/", "http://foo.com/path/"),  # trailing slash kept
     ("http://foo.com/?q", "http://foo.com/?q"),
     ("http://FOO.com/BAR", "http://foo.com/BAR"),  # path case preserved
+    ("http://foo.com:080/x", "http://foo.com/x"),  # leading-zero port not identity
 ]
 
 
@@ -93,3 +94,22 @@ def test_host_domain():
     assert get_domain("a.b.example.com") == "example.com"
     assert get_domain("example.co.uk") == "example.co.uk"
     assert get_domain("www.example.co.uk") == "example.co.uk"
+
+
+def test_leading_zero_port_not_canonical(spark):
+    """Regression (round-2 ADVICE): http://h:080/ passed the JVM
+    is_canonical fast path while the pandas normalizer rewrites it to
+    http://h/ — the same page could exist under two spellings. The fast
+    path must be a strict subset of normalize-identity URLs."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.urls import with_normalized
+
+    df = spark.createDataFrame(
+        [("http://foo.com:080/x",), ("http://foo.com:8080/x",)], ["u"]
+    )
+    got = {
+        r.u: r.n for r in with_normalized(df, "u", "n").collect()
+    }
+    assert got["http://foo.com:080/x"] == "http://foo.com/x"
+    assert got["http://foo.com:8080/x"] == "http://foo.com:8080/x"
