@@ -17,9 +17,9 @@ Scale design (the reason each algorithm is shaped the way it is):
     bucket = a big dup cluster) is handled by AQE skew-join; bucket
     size can also be capped before the join.
   - SimHash: per-row 16-bit fingerprint from shingle hashes; near-dup
-    pairs = hamming distance ≤ r. The pair search here is a self-join
-    (fine at test scale); the production path blocks on bit-bands the
-    same way LSH does.
+    pairs = hamming distance ≤ r, found by EXACT bit-band blocking
+    (r+1 bands ⇒ any pair within distance r shares a band) — an
+    equi-join on band value, never an all-pairs scan.
 
 Hash discipline: every hash is md5-hex (lowercase) so test oracles in
 any engine agree; a production deployment would swap in xxhash64 for
@@ -68,9 +68,26 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairs (a < b) with Jaccard(shingle sets) ≥ threshold.
 
-    With `candidates` (a DataFrame of (a, b)) only those pairs are
-    scored — the LSH verify path; otherwise all co-shingled pairs."""
+    With `candidates` (a DataFrame of (a, b)) ONLY those pairs are
+    scored — the LSH verify path: candidate pairs join to the per-doc
+    shingle arrays (two equi-joins on id, sized by |candidates|, not by
+    corpus²) and Jaccard is computed per pair with array_intersect.
+    Nothing explodes shingles globally, so verify cost scales with the
+    candidate count — this is what makes MinHash+LSH actually cheap at
+    100 TB. Without `candidates`, the brute-force baseline: explode
+    distinct shingles and self-join on shingle (all co-shingled pairs)."""
     s = shingled(docs, text_col, id_col, n)
+    if candidates is not None:
+        sa = s.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
+        sb = s.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
+        j = candidates.join(sa, "a").join(sb, "b")
+        inter = F.size(F.array_intersect("sha", "shb"))
+        jac = inter.cast("double") / (
+            F.size("sha") + F.size("shb") - inter
+        ).cast("double")
+        return j.select("a", "b", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= F.lit(float(threshold))
+        )
     sizes = s.select("id", F.size("sh").alias("sz"))
     ex = s.select("id", F.explode("sh").alias("g"))
     a = ex.select(F.col("id").alias("a"), "g")
@@ -81,8 +98,6 @@ def ngram_jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
     sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb"))
     j = inter.join(sa, "a").join(sb, "b")
@@ -209,15 +224,52 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_distance."""
+    """Near-dup pairs by SimHash hamming distance ≤ max_distance.
+
+    Pair generation is EXACT bit-band blocking, not an all-pairs scan:
+    split the fingerprint into max_distance+1 contiguous bit bands — by
+    pigeonhole, any pair within hamming distance ≤ max_distance agrees
+    exactly on at least one band — equi-join per (band_idx, band_value)
+    bucket, then verify the true hamming distance on the (few) bucket
+    collisions. Same output set as the O(n²) crossJoin, but the join is
+    a shuffle on band value: cost scales with bucket collisions, and a
+    hot band bucket (a big dup cluster) splits under AQE skew-join."""
     sh = simhash(docs, n, bits, text_col, id_col)
-    a = sh.select(F.col("id").alias("a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("id").alias("b"), F.col("simhash").alias("hb"))
+    n_bands = max_distance + 1
+    base_w, extra = divmod(bits, n_bands)
+    bands = []
+    lo = 0
+    for i in range(n_bands):
+        width = base_w + (1 if i < extra else 0)
+        mask = (1 << width) - 1
+        bands.append(
+            F.struct(
+                F.lit(i).alias("bidx"),
+                F.shiftrightunsigned(F.col("simhash"), lo)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+        )
+        lo += width
+    e = sh.select(
+        "id", "simhash", F.explode(F.array(*bands)).alias("band")
+    ).select(
+        "id",
+        "simhash",
+        F.col("band.bidx").alias("bidx"),
+        F.col("band.bv").alias("bv"),
+    )
+    a = e.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "bidx", "bv")
+    b = e.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "bidx", "bv")
+    cand = (
+        a.join(b, ["bidx", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()  # a pair may collide in several bands
+    )
     dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("hamming", dist.cast("long"))
+        cand.withColumn("hamming", dist.cast("long"))
         .filter(F.col("hamming") <= max_distance)
         .select("a", "b", "hamming")
     )

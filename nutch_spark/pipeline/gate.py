@@ -345,10 +345,13 @@ FROM shl
 # ---------------------------------------------------------------------
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import knn_numpy
+    # knn_blocked: distributed block-matrix exact kNN — no driver
+    # collect/broadcast of the corpus (knn_numpy is the small-probe
+    # baseline; its driver-side matrix is a scale ceiling)
+    from .similarity import knn_blocked
 
     _views(spark, sf_dir, ["embeddings"])
-    return knn_numpy(spark.table("embeddings"), k=5)
+    return knn_blocked(spark.table("embeddings"), k=5)
 
 
 _Q_CTE = """

@@ -158,6 +158,87 @@ def knn_numpy(
     return q.mapInPandas(topk, schema)
 
 
+def knn_blocked(
+    emb: DataFrame,
+    k: int = 5,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k as a DISTRIBUTED block-matrix product —
+    the scale-safe shape for the O(n²) baseline (same results as
+    `knn_cosine`/`knn_numpy`, same IEEE scalar op order):
+
+      1. hash rows into `n_blocks` blocks; pack each block into one row
+         (id/vector/norm arrays) — executor memory holds two blocks at
+         a time, never the corpus;
+      2. crossJoin the n_blocks² (query-block × corpus-block) pairs and
+         compute each cell's int64 matmul in an Arrow batch, emitting a
+         per-query LOCAL top-k per corpus block (global top-k ⊆ union
+         of per-block top-k);
+      3. one window merge ranks the n_blocks·k survivors per query.
+
+    No driver collect, no broadcast of the corpus: the driver-memory
+    ceiling of `knn_numpy` is gone, and blocks size independently of n
+    (pick n_blocks ≈ corpus_bytes / 100 MB at scale). Cost is still
+    quadratic compute — IVF is the sub-quadratic path."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    q = _prep(emb, id_col, vec_col)
+    blk = q.withColumn("blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
+    packed = blk.groupBy("blk").agg(
+        F.collect_list(F.struct("id", "v", "nn")).alias("rows")
+    )
+    qb = packed.select(F.col("blk").alias("qblk"), F.col("rows").alias("qrows"))
+    cb = packed.select(F.col("blk").alias("cblk"), F.col("rows").alias("crows"))
+    # n_blocks² cells; spread them so each task owns ~one matmul
+    cells = qb.crossJoin(cb).repartition(n_blocks * n_blocks)
+
+    def cell_topk(batches):
+        for pdf in batches:
+            out = {"vec_id": [], "neighbor_id": [], "sim": []}
+            for qrows, crows in zip(pdf["qrows"], pdf["crows"]):
+                q_ids = np.array([r["id"] for r in qrows], dtype="int64")
+                q_mat = np.array([r["v"] for r in qrows], dtype="int64")
+                q_nrm = np.sqrt(
+                    np.array([r["nn"] for r in qrows], dtype="float64")
+                )
+                c_ids = np.array([r["id"] for r in crows], dtype="int64")
+                c_mat = np.array([r["v"] for r in crows], dtype="int64")
+                c_nrm = np.sqrt(
+                    np.array([r["nn"] for r in crows], dtype="float64")
+                )
+                dots = q_mat @ c_mat.T  # exact int64
+                sims = dots.astype("float64") / (
+                    q_nrm[:, None] * c_nrm[None, :]
+                )
+                for r in range(len(q_ids)):
+                    s = sims[r].copy()
+                    s[c_ids == q_ids[r]] = -np.inf  # self (same block only)
+                    order = np.lexsort((c_ids, -s))
+                    order = order[s[order] > -np.inf][:k]
+                    for j in order:
+                        out["vec_id"].append(q_ids[r])
+                        out["neighbor_id"].append(c_ids[j])
+                        # scalar op order identical to knn_cosine/oracle
+                        out["sim"].append(
+                            float(dots[r, j])
+                            / (float(q_nrm[r]) * float(c_nrm[j]))
+                        )
+            yield pd.DataFrame(out)
+
+    partial = cells.mapInPandas(
+        cell_topk, "vec_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_pivots: int = 16,

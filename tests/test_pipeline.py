@@ -246,3 +246,49 @@ def test_knn_numpy_k_exceeds_corpus_excludes_self(spark):
 
     per_vec = Counter(r.vec_id for r in out)
     assert set(per_vec.values()) == {4}  # n-1 neighbors each, n=5
+
+
+def test_knn_blocked_matches_catalyst(spark):
+    """Block-matrix distributed kNN reproduces the exact brute-force
+    result — including bit-identical sims (same scalar op order)."""
+    a = knn_cosine(emb_df(spark), k=3).orderBy("vec_id", "rank").collect()
+    from nutch_spark.pipeline.similarity import knn_blocked
+
+    b = knn_blocked(emb_df(spark), k=3, n_blocks=2).orderBy(
+        "vec_id", "rank"
+    ).collect()
+    assert [(r.vec_id, r.neighbor_id, r.rank) for r in a] == [
+        (r.vec_id, r.neighbor_id, r.rank) for r in b
+    ]
+    for x, y in zip(a, b):
+        assert x.sim == y.sim
+
+
+def test_simhash_banding_matches_crossjoin(spark):
+    """Bit-band blocked pair search returns exactly the all-pairs
+    result (pigeonhole: distance <= r => >= 1 of r+1 bands equal)."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.pipeline.dedup_docs import simhash as sh_fn
+
+    docs = docs_df(spark)
+    for r in (1, 2, 4):
+        banded = {
+            (x.a, x.b, x.hamming)
+            for x in simhash_pairs(docs, max_distance=r).collect()
+        }
+        h = sh_fn(docs)
+        a = h.select(F.col("id").alias("a"), F.col("simhash").alias("ha"))
+        b = h.select(F.col("id").alias("b"), F.col("simhash").alias("hb"))
+        brute = {
+            (x.a, x.b, x.hamming)
+            for x in a.crossJoin(b)
+            .filter(F.col("a") < F.col("b"))
+            .withColumn(
+                "hamming",
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"),
+            )
+            .filter(F.col("hamming") <= r)
+            .collect()
+        }
+        assert banded == brute, r
