@@ -962,6 +962,82 @@ WHERE f.status IN (2, 6)
 """
 
 
+# fetch_results whose pages carry `subdoc` spans for keys % 4 = 0 —
+# exercises the fork's multi-entry parse: each subdoc span becomes a
+# non-canonical parse entry and a synthesized fetch_success datum
+# (ParseImpl.java:31-73; ParseOutputFormat.java:296-308).
+PARSE_FETCH_SQL = f"""
+SELECT
+  {_url('o_orderkey')} AS url,
+  cast(o_orderkey * 2654435761 as bigint) AS url_hash,
+  {_host('o_orderkey')} AS host,
+  cast(33 as int) AS status,
+  cast({CUR_MS} as bigint) AS fetch_time,
+  cast(0 as int) AS retries,
+  cast(2592000 as int) AS fetch_interval,
+  cast((o_orderkey % 41) * 0.25 as double) AS score,
+  cast(null as string) AS redirect_to,
+  case when o_orderkey % 4 = 0 then array(
+    named_struct('kind', 'text',
+                 'text', concat('page ', cast(o_orderkey as string),
+                                ' href:', {_url('o_orderkey * 11 + 1')}),
+                 'media_ref', cast(null as string), 'offset', 0),
+    named_struct('kind', 'subdoc',
+                 'text', concat('item one of ', cast(o_orderkey as string),
+                                ' href:', {_url('o_orderkey * 13 + 2')}),
+                 'media_ref', concat({_url('o_orderkey')}, '!/sub1'),
+                 'offset', 1),
+    named_struct('kind', 'subdoc',
+                 'text', concat('item two of ', cast(o_orderkey as string)),
+                 'media_ref', concat({_url('o_orderkey')}, '!/sub2'),
+                 'offset', 2))
+  else array(
+    named_struct('kind', 'text',
+                 'text', concat('page ', cast(o_orderkey as string),
+                                ' href:', {_url('o_orderkey * 11 + 1')}),
+                 'media_ref', cast(null as string), 'offset', 0))
+  end AS spans
+FROM orders
+"""
+
+
+def q_parse_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the REAL parse operator over pages with subdoc spans and
+    emit the fork's canonical-key datums (fetch_success rows in
+    crawl_parse) joined with each sub-entry's signature datum."""
+    from .constants import STATUS_FETCH_SUCCESS, STATUS_SIGNATURE
+    from .operators.parse import parse
+
+    _views(spark, sf_dir, ["orders"])
+    fr = spark.sql(PARSE_FETCH_SQL).withColumn("segment", F.lit("seg"))
+    _pd, cp = parse(fr)
+    fs = cp.filter(F.col("status") == STATUS_FETCH_SUCCESS).select(
+        "url",
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+        F.col("fetch_interval").cast("long").alias("fetch_interval"),
+    )
+    sg = cp.filter(F.col("status") == STATUS_SIGNATURE).select(
+        "url", "signature"
+    )
+    return fs.join(sg, "url")
+
+
+ORACLE_PARSE_CANONICAL = f"""
+WITH base AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 4 = 0),
+subs AS (
+  SELECT concat({_url('k')}, '!/sub1') AS url,
+         md5(concat('item one of ', cast(k as string))) AS signature
+  FROM base
+  UNION ALL
+  SELECT concat({_url('k')}, '!/sub2') AS url,
+         md5(concat('item two of ', cast(k as string))) AS signature
+  FROM base)
+SELECT url, cast({CUR_MS} as bigint) AS fetch_time,
+       cast(0 as bigint) AS fetch_interval, signature
+FROM subs
+"""
+
+
 def q_linkrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LinkRank scores (rows-only: iterative double sums are reduction-
     order dependent, so no cross-engine value hash; convergence and
@@ -996,6 +1072,7 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "seen_exact": (q_seen_exact, ORACLE_SEEN_EXACT),
     "text_profile_signature": (q_text_profile, ORACLE_TEXT_PROFILE),
     "index_documents": (q_index_documents, ORACLE_INDEX_DOCUMENTS),
+    "parse_canonical": (q_parse_canonical, ORACLE_PARSE_CANONICAL),
     "bloom_unseen": (q_bloom_unseen, None),
     "linkrank": (q_linkrank, None),
     "updatedb_adaptive": (q_updatedb_adaptive, None),

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..constants import Defaults, META_GENERATE_TIME
 from ..functions.schedules import clamped_interval, should_fetch
+from ..functions.scoring import OPIC, ScoringHooks
 from ..functions.urls import accept_urls, domain_col
 
 
@@ -54,8 +55,13 @@ def generate(
     gen_delay_ms: int = Defaults.GEN_DELAY_MS,
     max_interval: int = Defaults.FETCH_INTERVAL_MAX,
     num_fetch_partitions: int | None = None,
+    hooks: ScoringHooks = OPIC,
 ) -> DataFrame:
-    """Return the fetchlist DataFrame (frontier cols + segment)."""
+    """Return the fetchlist DataFrame (frontier cols + segment).
+
+    Ordering uses `hooks.generator_sort_value` — the
+    ScoringFilter.generatorSortValue hook point (Generator.java:183-189;
+    OPIC returns score × initSort, preserving plain score order)."""
     df = frontier
     if apply_filters:
         df = df.filter(accept_urls(F.col("url")))
@@ -79,10 +85,12 @@ def generate(
         clamped_interval(F.col("fetch_time"), F.col("fetch_interval"), cur_time_ms, max_interval),
     )
 
+    sort_val = hooks.generator_sort_value(F.col("score"))
+
     # per-host/domain cap with the reference's keep counts
     if max_count > 0:
         key = F.col("host") if count_mode == "host" else domain_col(F.col("host"))
-        w = Window.partitionBy(key).orderBy(F.desc("score"), F.asc("url_hash"))
+        w = Window.partitionBy(key).orderBy(sort_val.desc(), F.asc("url_hash"))
         r = F.row_number().over(w)
         segnum = (
             F.when(r <= max_count - 1, F.lit(1))
@@ -99,7 +107,7 @@ def generate(
 
     # global topN — TakeOrderedAndProject, not a full sort
     if top_n > 0:
-        df = df.orderBy(F.desc("score"), F.asc("url_hash")).limit(top_n)
+        df = df.orderBy(sort_val.desc(), F.asc("url_hash")).limit(top_n)
 
     out = df.withColumn(
         "segment",

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..constants import STATUS_DB_FETCHED, STATUS_DB_NOTMODIFIED
+from ..functions.scoring import OPIC, ScoringHooks
 
 
 def index_documents(
@@ -27,13 +28,18 @@ def index_documents(
     parse_data: DataFrame,
     linkdb: DataFrame | None = None,
     max_anchors: int = 100,
+    hooks: ScoringHooks = OPIC,
 ) -> DataFrame:
-    """One index document per fetched+parsed URL."""
+    """One index document per fetched+parsed URL.
+
+    Document boost goes through `hooks.indexer_score` — the
+    ScoringFilter.indexerScore hook point (scoring-opic: boost =
+    score)."""
     db = frontier.filter(
         F.col("status").isin(STATUS_DB_FETCHED, STATUS_DB_NOTMODIFIED)
     ).select(
         "url",
-        F.col("score").alias("boost"),
+        hooks.indexer_score(F.col("score")).alias("boost"),
         F.col("fetch_time").alias("db_fetch_time"),
         F.col("signature").alias("db_signature"),
     )

@@ -36,12 +36,18 @@ from ..constants import (
     STATUS_DB_GONE,
     STATUS_DB_UNFETCHED,
 )
+from ..functions.scoring import OPIC, ScoringHooks
 from ..functions.urls import accept_urls, host_of, url_hash_col, with_normalized
 from ..schema import FRONTIER
 
 
-def prepare_seeds(seeds: DataFrame, cur_time_ms: int) -> DataFrame:
-    """Normalize/filter seeds and shape them as frontier rows."""
+def prepare_seeds(
+    seeds: DataFrame, cur_time_ms: int, hooks: ScoringHooks = OPIC
+) -> DataFrame:
+    """Normalize/filter seeds and shape them as frontier rows.
+
+    `hooks.injected_score` is the ScoringFilter.injectedScore hook point
+    (Injector.java:169-175; OPIC keeps the score as-is)."""
     meta = F.coalesce(
         F.col("metadata"), F.create_map().cast("map<string,string>")
     )
@@ -54,9 +60,11 @@ def prepare_seeds(seeds: DataFrame, cur_time_ms: int) -> DataFrame:
         .filter(accept_urls(F.col("url")))
         .withColumn("metadata", meta)
     )
-    score = F.coalesce(
-        F.element_at("metadata", META_SCORE_KEY).cast("float"),
-        F.lit(float(Defaults.SCORE_INJECTED)),
+    score = hooks.injected_score(
+        F.coalesce(
+            F.element_at("metadata", META_SCORE_KEY).cast("float"),
+            F.lit(float(Defaults.SCORE_INJECTED)),
+        )
     )
     interval = F.coalesce(
         F.element_at("metadata", META_FIXED_INTERVAL_KEY).cast("int"),
@@ -86,8 +94,9 @@ def inject(
     overwrite: bool = False,
     update: bool = False,
     purge_404: bool = False,
+    hooks: ScoringHooks = OPIC,
 ) -> DataFrame:
-    inj = prepare_seeds(seeds, cur_time_ms)
+    inj = prepare_seeds(seeds, cur_time_ms, hooks)
     if frontier is None:
         frontier = spark.createDataFrame([], FRONTIER)
     if purge_404:

@@ -49,6 +49,7 @@ from ..constants import (
     STATUS_LINKED,
     STATUS_SIGNATURE,
 )
+from ..functions.scoring import OPIC, ScoringHooks
 from ..functions.urls import (
     accept_urls,
     domain_col,
@@ -73,12 +74,19 @@ def _once(col: Column) -> Column:
 
 
 def _raw_outlinks_col():
-    """Ordered outlink URLs from the span array — pure Catalyst."""
+    """Ordered outlink URLs from the span array — pure Catalyst.
+
+    Only text/media spans contribute: a `subdoc` span is a nested
+    document (its links belong to the sub-document's own parse entry,
+    not the canonical page's — ParseResult sub-url semantics)."""
     per_span = F.transform(
         F.col("spans"),
-        lambda s: F.when(
-            s["kind"] == "media", F.array(s["media_ref"])
-        ).otherwise(F.regexp_extract_all(s["text"], F.lit(HREF_RE), F.lit(1))),
+        lambda s: F.when(s["kind"] == "media", F.array(s["media_ref"]))
+        .when(
+            s["kind"] == "text",
+            F.regexp_extract_all(s["text"], F.lit(HREF_RE), F.lit(1)),
+        )
+        .otherwise(F.array().cast("array<string>")),
     )
     return F.flatten(per_span)
 
@@ -110,6 +118,7 @@ def parse(
     external_mode: str = "byHost",  # byHost | byDomain
     score_internal: float = Defaults.SCORE_LINK_INTERNAL,
     score_external: float = Defaults.SCORE_LINK_EXTERNAL,
+    hooks: ScoringHooks = OPIC,
 ) -> tuple[DataFrame, DataFrame]:
     """fetch_results → (parse_data, crawl_parse).
 
@@ -121,7 +130,7 @@ def parse(
         fetch_results, max_outlinks, ignore_external, external_mode
     )
     cp = crawl_parse_from(
-        pd_, fetch_results, score_internal, score_external
+        pd_, fetch_results, score_internal, score_external, hooks
     )
     return pd_, cp
 
@@ -147,19 +156,65 @@ def parse_pages(
     )
 
 
+_EMPTY_SPANS = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
 def extract_pages(fetch_results: DataFrame) -> DataFrame:
     """The expensive single-pass extraction projection: span text,
-    signature, ordered raw outlinks. Evaluates each span chain once."""
+    signature, ordered raw outlinks. Evaluates each span chain once.
+
+    A span of kind ``subdoc`` (text = nested document's text, media_ref
+    = its sub-URL) yields an additional NON-CANONICAL parse entry keyed
+    by the sub-URL — the fork's multi-entry ParseResult: a zip/feed
+    parser emits one parse per contained item under sub-URL keys, and
+    ``ParseResult.put`` marks entries canonical iff key == fetched URL
+    (reference parse/ParseResult.java:137-139, ParseImpl.java:31-73).
+    The canonical page row carries the input span array through
+    UNTOUCHED (span-sequence invariant); sub-entries carry no spans."""
     ok = fetch_results.filter(F.col("status") == STATUS_FETCH_SUCCESS)
-    return ok.select(
+    pages = ok.select(
         "url",
         "host",
         "score",
         "segment",
         "spans",
+        "fetch_time",
         _once(_text_col()).alias("text"),
         _once(_raw_outlinks_col()).alias("raw_outlinks"),
+        F.lit(True).alias("is_canonical"),
     ).withColumn("signature", F.md5(F.col("text")))
+
+    # sub-document entries — rare (zero in a plain HTML crawl), so the
+    # exists() pre-filter keeps the explode off the hot path entirely
+    with_subs = ok.filter(
+        F.exists(F.col("spans"), lambda s: s["kind"] == "subdoc")
+    )
+    sub_text_raw = F.coalesce(F.col("sd.text"), F.lit(""))
+    subs = (
+        with_subs.select(
+            "segment",
+            "fetch_time",
+            F.explode(
+                F.filter(F.col("spans"), lambda s: s["kind"] == "subdoc")
+            ).alias("sd"),
+        )
+        .filter(F.col("sd.media_ref").isNotNull())
+        .select(
+            F.col("sd.media_ref").alias("url"),
+            host_of(F.col("sd.media_ref")).alias("host"),
+            F.lit(0.0).cast("float").alias("score"),  # CrawlDatum default
+            "segment",
+            F.array().cast(_EMPTY_SPANS).alias("spans"),
+            "fetch_time",
+            F.trim(F.regexp_replace(sub_text_raw, HREF_RE, "")).alias("text"),
+            F.regexp_extract_all(
+                sub_text_raw, F.lit(HREF_RE), F.lit(1)
+            ).alias("raw_outlinks"),
+            F.lit(False).alias("is_canonical"),
+        )
+        .withColumn("signature", F.md5(F.col("text")))
+    )
+    return pages.unionByName(subs)
 
 
 def finish_pages(
@@ -204,6 +259,8 @@ def finish_pages(
         "score",
         "segment",
         "spans",
+        "fetch_time",
+        "is_canonical",
         "text",
         "signature",
         F.transform(
@@ -236,6 +293,8 @@ def finish_pages(
         "segment",
         "host",
         F.col("score").cast("float").alias("score"),
+        "fetch_time",
+        "is_canonical",
     )
 
 
@@ -244,17 +303,35 @@ def crawl_parse_from(
     fetch_results: DataFrame,
     score_internal: float = Defaults.SCORE_LINK_INTERNAL,
     score_external: float = Defaults.SCORE_LINK_EXTERNAL,
+    hooks: ScoringHooks = OPIC,
 ) -> DataFrame:
     """parse_data (+ fetch_results for redirects) → crawl_parse datums.
 
     Cheap: one map-side explode of the stored outlink arrays — contrib
     needs no window because valid_count is the array size. Run this on
-    the MATERIALIZED parse_data so extraction isn't re-executed."""
+    the MATERIALIZED parse_data so extraction isn't re-executed.
+
+    Non-canonical entries (sub-documents) additionally emit a
+    `fetch_success` CrawlDatum under their own key — the fork's
+    signature extension (reference ParseImpl.java:31-73;
+    ParseOutputFormat.java:296-308: status=fetch_success, fetch time
+    from the parent fetch, everything else CrawlDatum defaults) — so
+    updatedb records the sub-URL as fetched without a separate fetch."""
     pages = parse_data.withColumn("valid_count", F.size("outlinks"))
+    if "is_canonical" not in pages.columns:  # legacy stored parse_data
+        pages = pages.withColumn("is_canonical", F.lit(True)).withColumn(
+            "fetch_time", F.lit(None).cast("long")
+        )
     factor = F.when(
         host_of(F.col("o.to_url")) == F.col("host"),
         F.lit(float(score_internal)),
     ).otherwise(F.lit(float(score_external)))
+    # ScoringFilter.distributeScoreToOutlinks hook point
+    # (OPICScoringFilter.java:122-165); pass-score hooks bracket it
+    # (passScoreBeforeParsing/AfterParsing — OPIC: identity)
+    page_score = hooks.pass_score_after_parsing(
+        hooks.pass_score_before_parsing(F.col("score"))
+    )
     linked = (
         pages.filter(F.col("valid_count") > 0)
         .select(
@@ -267,7 +344,9 @@ def crawl_parse_from(
         .select(
             F.col("o.to_url").alias("out_url"),
             F.lit(STATUS_LINKED).alias("status"),
-            (F.col("score") / F.col("valid_count") * factor)
+            hooks.distribute_score_to_outlinks(
+                page_score, F.col("valid_count"), factor
+            )
             .cast("float")
             .alias("score"),
             F.lit(Defaults.FETCH_INTERVAL).alias("fetch_interval"),
@@ -275,6 +354,7 @@ def crawl_parse_from(
             F.col("o.anchor").alias("anchor"),
             F.col("url").alias("from_url"),
             F.lit(None).cast("map<string,string>").alias("metadata"),
+            F.lit(None).cast("long").alias("fetch_time"),
         )
         .withColumnRenamed("out_url", "url")
     )
@@ -287,6 +367,19 @@ def crawl_parse_from(
         F.lit(None).cast("string").alias("anchor"),
         F.lit(None).cast("string").alias("from_url"),
         F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.lit(None).cast("long").alias("fetch_time"),
+    )
+    # the fork's canonical-key datum: one fetch_success per sub-entry
+    canon = pages.filter(~F.col("is_canonical")).select(
+        F.col("url"),
+        F.lit(STATUS_FETCH_SUCCESS).alias("status"),
+        F.lit(0.0).cast("float").alias("score"),  # CrawlDatum defaults
+        F.lit(0).alias("fetch_interval"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(None).cast("string").alias("anchor"),
+        F.lit(None).cast("string").alias("from_url"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.col("fetch_time").cast("long").alias("fetch_time"),
     )
     redirs = with_normalized(
         fetch_results.filter(
@@ -304,11 +397,14 @@ def crawl_parse_from(
         F.lit(None).cast("string").alias("anchor"),
         F.col("url").alias("from_url"),
         F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.lit(None).cast("long").alias("fetch_time"),
     ).filter(
         F.col("target").isNotNull() & accept_urls(F.col("target"))
     ).withColumnRenamed("target", "url")
 
-    return linked.unionByName(sigs).unionByName(redirs)
+    return (
+        linked.unionByName(sigs).unionByName(canon).unionByName(redirs)
+    )
 
 
 def _slow_outlink_pipeline(
@@ -380,6 +476,8 @@ def _slow_outlink_pipeline(
             "score",
             "segment",
             "spans",
+            "fetch_time",
+            "is_canonical",
             "text",
             "signature",
             F.coalesce("outlinks", empty_outlinks).alias("outlinks"),

@@ -63,6 +63,7 @@ from ..constants import (
     STATUS_SIGNATURE,
 )
 from ..functions import schedules as sched
+from ..functions.scoring import OPIC, ScoringHooks
 from ..functions.urls import host_of, url_hash_col
 from ..schema import FRONTIER
 
@@ -83,6 +84,7 @@ def updatedb(
     additions_allowed: bool = True,
     purge_404: bool = False,
     repartition_on: int | None = None,
+    hooks: ScoringHooks = OPIC,
 ) -> DataFrame:
     if frontier is None:
         frontier = spark.createDataFrame([], FRONTIER)
@@ -95,12 +97,44 @@ def updatedb(
     )
 
     # --- latest fetch per url (CrawlDbReducer.java:99-113) ---
+    # crawl_parse may carry synthesized fetch_success datums for
+    # non-canonical parse keys (the fork's canonical-key datum,
+    # ParseOutputFormat.java:296-308); they enter the reduce exactly
+    # like a real fetch datum, so union them before the latest-wins
+    # window.
+    fetch_stream = None
     if fetch_results is not None:
+        fetch_stream = fetch_results.select(
+            "url", "status", "fetch_time", "retries", "fetch_interval",
+            "score", F.col("prev_modified_time").alias("modified_time"),
+            "metadata",
+        )
+    if crawl_parse is not None and "fetch_time" in crawl_parse.columns:
+        synth = crawl_parse.filter(
+            F.col("status") == STATUS_FETCH_SUCCESS
+        ).select(
+            "url",
+            "status",
+            F.coalesce(F.col("fetch_time"), F.lit(cur_time_ms)).alias(
+                "fetch_time"
+            ),
+            F.lit(0).alias("retries"),
+            F.col("fetch_interval"),
+            F.col("score"),
+            F.lit(0).cast("long").alias("modified_time"),
+            F.col("metadata"),
+        )
+        fetch_stream = (
+            synth
+            if fetch_stream is None
+            else fetch_stream.unionByName(synth)
+        )
+    if fetch_stream is not None:
         w = Window.partitionBy("url").orderBy(
             F.desc("fetch_time"), F.desc("status")
         )
         fetch = (
-            fetch_results.withColumn("_rn", F.row_number().over(w))
+            fetch_stream.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(
                 F.col("url"),
@@ -110,7 +144,7 @@ def updatedb(
                     F.col("retries"),
                     F.col("fetch_interval"),
                     F.col("score"),
-                    F.col("prev_modified_time").alias("modified_time"),
+                    F.col("modified_time"),
                     F.col("metadata"),
                 ).alias("f"),
             )
@@ -345,14 +379,16 @@ def updatedb(
         seed_meta, seed_meta, seed_meta, F.coalesce(F.col("o.metadata"), _empty_meta()), _empty_meta(), seed_meta
     )
 
-    # OPIC updateDbScore: score = (old | result).score + Σ link contributions
+    # ScoringFilter.updateDbScore / initialScore hook points
+    # (OPICScoringFilter.java:83-105: score = base + Σ link contribs,
+    # new linked URLs start at initialScore)
     base_score = (
         F.when(is_linked & old_set, F.col("o.score"))
-        .when(is_linked, F.lit(0.0))  # initialScore for new linked URLs
+        .when(is_linked, hooks.initial_score())
         .when(old_set, F.col("o.score"))
         .otherwise(F.coalesce(seed_score, F.lit(0.0)))
     )
-    out_score = (base_score + adjust).cast("float")
+    out_score = hooks.update_db_score(base_score, adjust).cast("float")
 
     # strip generate-time marker from every updated row
     out_meta = F.map_filter(out_meta, lambda k, _v: k != META_GENERATE_TIME)

@@ -112,20 +112,28 @@ PARSE_DATA = T.StructType(
         T.StructField("segment", T.StringType(), False),
         T.StructField("host", T.StringType()),
         T.StructField("score", T.FloatType()),
+        # parent fetch time (for the canonical-key datum) and the fork's
+        # ParseImpl.isCanonical flag — false for sub-document entries
+        T.StructField("fetch_time", T.LongType()),
+        T.StructField("is_canonical", T.BooleanType()),
     ]
 )
 
-# crawl_parse rows: per-outlink linked datums + signature datum
+# crawl_parse rows: per-outlink linked datums + signature datum +
+# fetch_success datums for non-canonical (sub-document) parse keys
 CRAWL_PARSE = T.StructType(
     [
         T.StructField("url", T.StringType(), False),  # target url
-        T.StructField("status", T.IntegerType(), False),  # linked | signature
+        # linked | signature | fetch_success (canonical-key datum)
+        T.StructField("status", T.IntegerType(), False),
         T.StructField("score", T.FloatType(), False),  # OPIC contribution
         T.StructField("fetch_interval", T.IntegerType(), False),
         T.StructField("signature", T.StringType()),
         T.StructField("anchor", T.StringType()),
         T.StructField("from_url", T.StringType()),
         T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+        # set only on fetch_success rows: the parent fetch's time
+        T.StructField("fetch_time", T.LongType()),
     ]
 )
 

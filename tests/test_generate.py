@@ -136,3 +136,37 @@ def test_deterministic_output(spark):
     a = sorted(r.url for r in generate(frontier(spark, rows), T0, "s", top_n=20).collect())
     b = sorted(r.url for r in generate(frontier(spark, rows), T0, "s", top_n=20).collect())
     assert a == b
+
+
+def test_scoring_hooks_change_generate_order(spark, t0):
+    """A registered non-OPIC scorer (inverted sort value) must actually
+    drive generate ordering; the default OPIC hooks preserve the
+    score-descending order (round-2: hooks are live, not a dead
+    registry)."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.scoring import OPIC
+    from nutch_spark.operators.generate import generate
+    from nutch_spark.operators.inject import inject
+    from nutch_spark.synth import WebConfig, seeds_df
+
+    cfg = WebConfig(n_hosts=6, pages_per_host=2, zipf=False)
+    fr = inject(spark, None, seeds_df(spark, cfg), t0)
+    fr = fr.withColumn(
+        "score", (F.xxhash64("url") % 100).cast("float") / 4.0
+    )
+    inverted = replace(OPIC, generator_sort_value=lambda score: -score)
+    top_default = {r.url for r in generate(fr, t0, "s", top_n=3).collect()}
+    top_inverted = {
+        r.url
+        for r in generate(fr, t0, "s", top_n=3, hooks=inverted).collect()
+    }
+    rows = {r.url: r.score for r in fr.collect()}
+    want_default = set(
+        sorted(rows, key=lambda u: (-rows[u]))[:3]
+    )
+    want_inverted = set(sorted(rows, key=lambda u: rows[u])[:3])
+    assert top_default == want_default
+    assert top_inverted == want_inverted

@@ -247,3 +247,78 @@ def test_null_outlink_element_page_survives(spark):
     assert len(rows) == 1
     assert [o.to_url for o in rows[0].outlinks] == ["http://h.example.com/a"]
     assert cp.filter(F.col("status") == STATUS_SIGNATURE).count() == 1
+
+
+def subdoc_span(url, text, off):
+    return Row(kind="subdoc", text=text, media_ref=url, offset=off)
+
+
+def test_subdoc_entries_and_canonical_datum(spark):
+    """The fork's multi-entry parse: a subdoc span yields a
+    non-canonical parse entry under its sub-URL, and crawl_parse gains
+    a fetch_success datum for that key (ParseImpl.java:31-73,
+    ParseOutputFormat.java:296-308)."""
+    spans = [
+        Row(kind="text", text="parent text href:http://h.example.com/x", media_ref=None, offset=0),
+        subdoc_span("http://h.example.com/z!/item1",
+                    "item one href:http://h.example.com/y", 1),
+        subdoc_span("http://h.example.com/z!/item2", "item two", 2),
+    ]
+    df = spark.createDataFrame(
+        [fetch_result_row("http://h.example.com/p", spans)], FETCH_RESULTS
+    )
+    pd_, cp = parse(df)
+    rows = {r.url: r for r in pd_.collect()}
+    assert set(rows) == {
+        "http://h.example.com/p",
+        "http://h.example.com/z!/item1",
+        "http://h.example.com/z!/item2",
+    }
+    parent = rows["http://h.example.com/p"]
+    assert parent.is_canonical
+    # span invariant: parent's spans carried through untouched (3 spans)
+    assert len(parent.spans) == 3
+    # parent outlinks: only its own text href, not the subdoc's
+    assert [o.to_url for o in parent.outlinks] == ["http://h.example.com/x"]
+    sub1 = rows["http://h.example.com/z!/item1"]
+    assert not sub1.is_canonical
+    assert sub1.text == "item one"
+    assert [o.to_url for o in sub1.outlinks] == ["http://h.example.com/y"]
+    assert sub1.spans == []
+    # canonical-key datums: one fetch_success per sub-entry, parent's time
+    canon = {
+        r.url: r
+        for r in cp.filter(F.col("status") == STATUS_FETCH_SUCCESS).collect()
+    }
+    assert set(canon) == {
+        "http://h.example.com/z!/item1",
+        "http://h.example.com/z!/item2",
+    }
+    assert canon["http://h.example.com/z!/item1"].fetch_time == T0
+    assert canon["http://h.example.com/z!/item1"].fetch_interval == 0
+    # each entry (canonical + sub) has a signature datum
+    assert cp.filter(F.col("status") == STATUS_SIGNATURE).count() == 3
+
+
+def test_canonical_datum_flows_into_updatedb(spark):
+    """The synthesized fetch_success datum makes updatedb record the
+    sub-URL as db_fetched with the sub-entry's signature."""
+    from nutch_spark.constants import STATUS_DB_FETCHED
+    from nutch_spark.operators.updatedb import updatedb
+
+    spans = [
+        Row(kind="text", text="parent", media_ref=None, offset=0),
+        subdoc_span("http://h.example.com/z!/item1", "item one", 1),
+    ]
+    df = spark.createDataFrame(
+        [fetch_result_row("http://h.example.com/p", spans)], FETCH_RESULTS
+    )
+    _, cp = parse(df)
+    fr = updatedb(spark, None, df, cp, T0)
+    got = {r.url: r for r in fr.collect()}
+    sub = got["http://h.example.com/z!/item1"]
+    assert sub.status == STATUS_DB_FETCHED
+    assert sub.signature is not None
+    assert sub.fetch_interval == Defaults.FETCH_INTERVAL  # 0 → default
+    parent = got["http://h.example.com/p"]
+    assert parent.status == STATUS_DB_FETCHED

@@ -109,6 +109,7 @@ def linked_row(url=URL, score=0.5, from_url="http://other.example.com/"):
         anchor="a",
         from_url=from_url,
         metadata=None,
+        fetch_time=None,
     )
 
 
@@ -122,6 +123,7 @@ def sig_row(url=URL, signature="abc"):
         anchor=None,
         from_url=None,
         metadata=None,
+        fetch_time=None,
     )
 
 
@@ -348,3 +350,26 @@ def test_adaptive_fixed_interval_override(spark):
         frontier_kw={"metadata": {"nutch.fetchInterval.fixed": "777"}},
     )
     assert r.fetch_interval == 777
+
+
+def test_scoring_hooks_change_updatedb_score(spark):
+    """A custom updateDbScore (half-weight inlinks) changes the merged
+    score as predicted; default hooks reproduce OPIC arithmetic."""
+    from dataclasses import replace
+
+    from nutch_spark.functions.scoring import OPIC
+
+    frontier = spark.createDataFrame(
+        [frontier_row(STATUS_DB_FETCHED, score=1.0)], FRONTIER
+    )
+    cp = spark.createDataFrame(
+        [linked_row(score=0.5), linked_row(score=0.25, from_url="http://h2/")],
+        CRAWL_PARSE,
+    )
+    half = replace(
+        OPIC, update_db_score=lambda base, adjust: base + adjust * 0.5
+    )
+    out_d = updatedb(spark, frontier, None, cp, T0).collect()[0]
+    out_h = updatedb(spark, frontier, None, cp, T0, hooks=half).collect()[0]
+    assert abs(out_d.score - 1.75) < 1e-6
+    assert abs(out_h.score - 1.375) < 1e-6
