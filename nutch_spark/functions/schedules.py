@@ -79,26 +79,34 @@ def set_fetch_schedule_adaptive(
     sync_delta: bool = Defaults.ADAPTIVE_SYNC_DELTA,
     sync_delta_rate: float = Defaults.ADAPTIVE_SYNC_DELTA_RATE,
 ) -> dict[str, Column]:
+    # All arithmetic in DOUBLE with floor(x+0.5) for Math.round and
+    # explicit floor for narrowing — the exact op sequence is portable
+    # SQL (DuckDB `round` is half-even and bigint casts round, so this
+    # discipline is what lets updatedb_adaptive carry a full value-hash
+    # oracle instead of rows-only).
     interval0 = (
         F.when(fetch_interval == 0, F.lit(Defaults.FETCH_INTERVAL))
         .otherwise(fetch_interval)
-        .cast("float")
+        .cast("double")
     )
     fixed = F.element_at(
         F.coalesce(metadata, F.create_map().cast("map<string,string>")),
         META_FIXED_INTERVAL_KEY,
-    ).cast("float")
+    ).cast("double")
 
     mod_time = F.when(modified_time_ms <= 0, fetch_time_ms).otherwise(modified_time_ms)
     interval1 = (
-        F.when(state == STATE_MODIFIED, interval0 * (1.0 - dec_rate))
-        .when(state == STATE_NOTMODIFIED, interval0 * (1.0 + inc_rate))
+        F.when(state == STATE_MODIFIED, interval0 * F.lit(1.0 - dec_rate))
+        .when(state == STATE_NOTMODIFIED, interval0 * F.lit(1.0 + inc_rate))
         .otherwise(interval0)
     )
     if sync_delta:
-        delta = ((fetch_time_ms - mod_time) / 1000).cast("long")
-        interval2 = F.when(delta > interval1, delta.cast("float")).otherwise(interval1)
-        ref_time = fetch_time_ms - F.round(delta * sync_delta_rate * 1000).cast("long")
+        # Java: (fetchTime - modifiedTime) / 1000L — integer floor div
+        delta = F.floor((fetch_time_ms - mod_time) / F.lit(1000.0)).cast("long")
+        interval2 = F.when(delta > interval1, delta.cast("double")).otherwise(interval1)
+        ref_time = fetch_time_ms - F.floor(
+            delta * F.lit(float(sync_delta_rate)) * F.lit(1000.0) + F.lit(0.5)
+        ).cast("long")
     else:
         interval2 = interval1
         ref_time = fetch_time_ms
@@ -110,10 +118,11 @@ def set_fetch_schedule_adaptive(
     final_ref = F.when(fixed.isNotNull(), fetch_time_ms).otherwise(ref_time)
     final_mod = F.when(fixed.isNotNull(), modified_time_ms).otherwise(mod_time)
     return {
-        "fetch_interval": final_interval.cast("int"),
-        "fetch_time": (final_ref + F.round(final_interval * 1000.0).cast("long")).cast(
-            "long"
-        ),
+        "fetch_interval": F.floor(final_interval).cast("int"),
+        "fetch_time": (
+            final_ref
+            + F.floor(final_interval * F.lit(1000.0) + F.lit(0.5)).cast("long")
+        ).cast("long"),
         "modified_time": final_mod.cast("long"),
         "retries": F.lit(0),
     }

@@ -829,10 +829,11 @@ WHERE f.url IS NULL
 
 
 def q_updatedb_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """updatedb with the ADAPTIVE fetch schedule (rows-only: the
-    interval arithmetic runs through float32 seeds whose cast-to-long
-    truncation semantics differ across engines at sub-second
-    granularity; the 113-case pytest matrix covers the formula)."""
+    """updatedb with the ADAPTIVE fetch schedule. Full value-hash
+    oracle: the schedule arithmetic runs in double precision with
+    floor(x+0.5) for Math.round and explicit floor for narrowing
+    (schedules.set_fetch_schedule_adaptive), so the identical IEEE op
+    sequence is expressible in portable SQL."""
     from .operators.updatedb import updatedb
 
     out = updatedb(
@@ -847,8 +848,149 @@ def q_updatedb_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         F.col("status").cast("long").alias("status"),
         F.col("fetch_time").cast("long").alias("fetch_time"),
+        F.col("retries").cast("long").alias("retries"),
         F.col("fetch_interval").cast("long").alias("fetch_interval"),
     )
+
+
+# AdaptiveFetchSchedule (AdaptiveFetchSchedule.java:96-144) with the
+# engine's exact double-precision op order: inc/dec = ±0.2,
+# min=60 s, max=365 d, sync_delta on at rate 0.3. Gate inputs carry no
+# fixed-interval metadata and prev_modified_time=0, but the SQL keeps
+# the general expressions (mod_time fallback, delta sync) anyway.
+ORACLE_UPDATEDB_ADAPTIVE = f"""
+WITH frontier AS ({FRONTIER_SQL}),
+fres AS ({FETCH_SQL}),
+sigs AS ({SIGS_SQL}),
+linked AS ({LINKED_SQL}),
+lagg AS (
+  SELECT url, sum(score) AS link_adjust, count(*) AS link_count
+  FROM linked GROUP BY url
+),
+j AS (
+  SELECT coalesce(o.url, f.url, l.url) AS url,
+         o.url IS NOT NULL AS old_set,
+         f.url IS NOT NULL AS fetch_set,
+         coalesce(l.link_count, 0) > 0 AS has_links,
+         o.status AS o_status, o.fetch_time AS o_fetch_time,
+         o.retries AS o_retries, o.fetch_interval AS o_interval,
+         o.signature AS o_signature,
+         f.status AS f_status, f.fetch_time AS f_fetch_time,
+         f.retries AS f_retries, f.fetch_interval AS f_interval,
+         f.prev_modified_time AS f_modified,
+         s.signature AS parse_signature
+  FROM frontier o
+  FULL OUTER JOIN fres f ON o.url = f.url
+  FULL OUTER JOIN lagg l ON coalesce(o.url, f.url) = l.url
+  LEFT OUTER JOIN sigs s ON coalesce(o.url, f.url, l.url) = s.url
+),
+c AS (
+  SELECT *,
+    case when fetch_set then f_status when has_links then 67 end AS eff
+  FROM j
+),
+st0 AS (
+  SELECT *,
+    case
+      when eff = 38 then 'notmodified'
+      when eff = 33 AND old_set AND o_signature IS NOT NULL
+           AND parse_signature IS NOT NULL then
+        case when o_signature <> parse_signature then 'modified'
+             else 'notmodified' end
+      else 'unknown'
+    end AS state
+  FROM c
+),
+ad AS (
+  SELECT *,
+    cast(case when f_interval = 0 then 2592000 else f_interval end as double)
+      AS i0,
+    case when coalesce(f_modified, 0) <= 0 then f_fetch_time
+         else f_modified end AS mod_time
+  FROM st0
+),
+ad1 AS (
+  SELECT *,
+    case when state = 'modified' then i0 * 0.8
+         when state = 'notmodified' then i0 * 1.2
+         else i0 end AS i1,
+    cast(floor((f_fetch_time - mod_time) / 1000.0) as bigint) AS delta
+  FROM ad
+),
+ad2 AS (
+  SELECT *,
+    case when delta > i1 then cast(delta as double) else i1 end AS i2,
+    f_fetch_time - cast(floor(delta * 0.3 * 1000.0 + 0.5) as bigint)
+      AS ref_time
+  FROM ad1
+),
+st AS (
+  SELECT *,
+    ref_time + cast(floor(greatest(60.0, least(31536000.0, i2)) * 1000.0
+                          + 0.5) as bigint) AS sched_fetch_time,
+    cast(floor(greatest(60.0, least(31536000.0, i2))) as bigint)
+      AS sched_interval
+  FROM ad2
+),
+br AS (
+  SELECT *,
+    eff in (33, 35, 36, 38) AS is_succ,
+    eff = 67 AS is_linked,
+    eff = 34 AS is_retry,
+    eff = 37 AS is_gone,
+    state = 'notmodified' AS notmod,
+    sched_interval > 7776000 AS force_refetch,
+    f_retries + 1 AS new_retries,
+    f_retries + 1 >= 3 AS retry_exceeded,
+    case when f_interval * 1.5 < 7776000.0 then cast(f_interval * 1.5 as int)
+         else 6998400 end AS gone_interval
+  FROM st
+)
+SELECT url,
+  cast(case
+    when is_linked AND old_set then o_status
+    when is_linked then 1
+    when is_succ then
+      case when force_refetch then 1
+           when notmod then 6
+           when eff = 33 then 2
+           when eff = 36 then 5
+           when eff = 35 then 4 end
+    when is_retry then case when retry_exceeded then 3 else 1 end
+    when is_gone then 3
+    when fetch_set OR has_links then f_status
+    else o_status end as bigint) AS status,
+  cast(case
+    when is_linked AND old_set then o_fetch_time
+    when is_linked then {CUR_MS}
+    when is_succ then sched_fetch_time
+    when is_retry then
+      case when retry_exceeded
+           then f_fetch_time + cast(gone_interval as bigint) * 1000
+           else f_fetch_time + 86400000 end
+    when is_gone then f_fetch_time + cast(gone_interval as bigint) * 1000
+    when fetch_set OR has_links then f_fetch_time
+    else o_fetch_time end as bigint) AS fetch_time,
+  cast(case
+    when is_linked AND old_set then o_retries
+    when is_linked then 0
+    when is_succ then 0
+    when is_retry then new_retries
+    when is_gone then f_retries
+    when fetch_set OR has_links then f_retries
+    else o_retries end as bigint) AS retries,
+  cast(case
+    when is_linked AND old_set then o_interval
+    when is_linked then 2592000
+    when is_succ then
+      case when force_refetch then 6998400 else sched_interval end
+    when is_retry then
+      case when retry_exceeded then gone_interval else f_interval end
+    when is_gone then gone_interval
+    when fetch_set OR has_links then f_interval
+    else o_interval end as bigint) AS fetch_interval
+FROM br
+"""
 
 
 def q_bloom_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1075,5 +1217,5 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "parse_canonical": (q_parse_canonical, ORACLE_PARSE_CANONICAL),
     "bloom_unseen": (q_bloom_unseen, None),
     "linkrank": (q_linkrank, None),
-    "updatedb_adaptive": (q_updatedb_adaptive, None),
+    "updatedb_adaptive": (q_updatedb_adaptive, ORACLE_UPDATEDB_ADAPTIVE),
 }

@@ -154,19 +154,43 @@ class SeenFilter:
         )
 
     # -- probe --
+    # Above this estimated bucket-table size the probe switches from the
+    # driver-broadcast path to the partitioned cogroup path (the driver
+    # never materializes the table).
+    BROADCAST_LIMIT_BYTES = 64 << 20
+
     def mark_seen(self, candidates: DataFrame, seen: DataFrame,
-                  url_hash_col: str = "url_hash") -> DataFrame:
+                  url_hash_col: str = "url_hash",
+                  mode: str = "auto") -> DataFrame:
         """Add boolean `maybe_seen` to candidates (true ⇒ probably in
         the frontier; false ⇒ DEFINITELY new — the useful guarantee).
 
-        The bucket table goes to the executors ONCE via an RDD
-        broadcast and each Arrow batch probes against it in NumPy. (A
-        broadcast JOIN here would materialize the megabyte bitset into
-        every candidate row and push it through Arrow per row —
-        measured ~90 s for a 1.5k-candidate probe.) At 10^10-frontier
-        scale, where the full bucket table outgrows a broadcast,
-        repartition candidates by bucket and fetch each partition's
-        single bucket row instead — same per-batch NumPy probe."""
+        Two physical shapes, same result:
+
+        * ``broadcast`` — the bucket table is collected once and RDD-
+          broadcast; each Arrow batch probes against it in NumPy. (A
+          broadcast JOIN instead would materialize the megabyte bitset
+          into every candidate row and push it through Arrow per row —
+          measured ~90 s for a 1.5k-candidate probe.) Right while the
+          whole table fits comfortably in driver/executor memory.
+        * ``partitioned`` — the 10^10-frontier shape: candidates
+          shuffle once on bucket and COGROUP with the seen table, so
+          each task sees (its candidates, its single bucket row) and
+          probes in one NumPy batch. No driver collect, no broadcast;
+          each bitset moves over the wire exactly once per bucket.
+
+        ``auto`` picks by the configured table size
+        (n_buckets × m_bits/8 vs BROADCAST_LIMIT_BYTES) — a static
+        decision from filter config, not a data scan."""
+        if mode == "auto":
+            table_bytes = self.n_buckets * (self.m_bits // 8)
+            mode = (
+                "broadcast"
+                if table_bytes <= self.BROADCAST_LIMIT_BYTES
+                else "partitioned"
+            )
+        if mode == "partitioned":
+            return self._mark_seen_partitioned(candidates, seen, url_hash_col)
         m_bits, k, nb = self.m_bits, self.k, self.n_buckets
         table = {int(r.bucket): r.bitset for r in seen.collect()}
         bc = candidates.sparkSession.sparkContext.broadcast(table)
@@ -193,10 +217,43 @@ class SeenFilter:
         )
         return candidates.mapInPandas(probe_batches, out_schema)
 
+    def _mark_seen_partitioned(
+        self, candidates: DataFrame, seen: DataFrame, url_hash_col: str
+    ) -> DataFrame:
+        """Cogroup candidates with their bucket row — one shuffle keyed
+        on bucket, one NumPy probe per (bucket-candidates, bitset)
+        pair. Scales to bucket tables far beyond broadcast size."""
+        m_bits, k = self.m_bits, self.k
+        cand = candidates.withColumn(
+            "__bucket", self.bucket_col(F.col(url_hash_col))
+        )
+        out_schema = T.StructType(
+            list(candidates.schema.fields)
+            + [T.StructField("maybe_seen", T.BooleanType())]
+        )
+
+        def probe(cpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+            res = cpdf.drop(columns=["__bucket"])
+            if len(spdf) and len(cpdf):
+                hv = cpdf[url_hash_col].to_numpy(dtype=np.int64)
+                res["maybe_seen"] = _contains(
+                    spdf["bitset"].iloc[0], hv, m_bits, k
+                )
+            else:  # no bucket row ⇒ nothing of this bucket ever seen
+                res["maybe_seen"] = np.zeros(len(cpdf), dtype=bool)
+            return res
+
+        return (
+            cand.groupBy("__bucket")
+            .cogroup(seen.groupBy("bucket"))
+            .applyInPandas(probe, out_schema)
+        )
+
     def unseen(self, candidates: DataFrame, seen: DataFrame,
-               url_hash_col: str = "url_hash") -> DataFrame:
+               url_hash_col: str = "url_hash",
+               mode: str = "auto") -> DataFrame:
         """Candidates definitely not in the seen set (bloom-pruned)."""
-        return self.mark_seen(candidates, seen, url_hash_col).filter(
+        return self.mark_seen(candidates, seen, url_hash_col, mode).filter(
             ~F.col("maybe_seen")
         ).drop("maybe_seen")
 

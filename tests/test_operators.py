@@ -273,3 +273,32 @@ def test_seen_filter_incremental_add(spark):
     a = {(r.bucket, bytes(r.bitset)) for r in seen.collect()}
     b = {(r.bucket, bytes(r.bitset)) for r in seen2.collect()}
     assert a == b
+
+
+def test_seen_partitioned_probe_matches_broadcast(spark):
+    """The cogroup (no-driver-collect) probe returns exactly the
+    broadcast probe's verdicts — the 10^10-frontier path is semantics-
+    identical (round-2: scale-safe bloom probe)."""
+    sf = SeenFilter(n_buckets=8, bits_per_key=10, expected_keys_per_bucket=1000)
+    from nutch_spark.functions.urls import url_hash_col as uh
+
+    fr = spark.range(2000).select(
+        F.concat(F.lit("http://h.example.com/p/"), F.col("id")).alias("url")
+    ).withColumn("url_hash", uh(F.col("url")))
+    seen = sf.build(fr)
+    novel = spark.range(1500, 2500).select(
+        F.concat(F.lit("http://h.example.com/p/"), F.col("id")).alias("url")
+    ).withColumn("url_hash", uh(F.col("url")))
+    bro = {
+        r.url: r.maybe_seen
+        for r in sf.mark_seen(novel, seen, mode="broadcast").collect()
+    }
+    par = {
+        r.url: r.maybe_seen
+        for r in sf.mark_seen(novel, seen, mode="partitioned").collect()
+    }
+    assert bro == par
+    assert len(par) == 1000
+    # definitely-new guarantee still holds through the partitioned path
+    exact = {r.url for r in unseen_exact(novel, fr).collect()}
+    assert {u for u, s in par.items() if not s} <= exact
