@@ -1,0 +1,384 @@
+"""URL normalizer/filter plugin parity: scoped chains, regex-rewrite
+rules, host aliasing, and the prefix/suffix/domain/validator filters.
+
+Re-expressed from the reference's plugin semantics (not code):
+
+  * Scoped normalizer chains — net/URLNormalizers.java:96-118 defines 9
+    scopes (default, partition, generate_host_count, fetcher, crawldb,
+    linkdb, inject, outlink, indexer); each scope runs its own ordered
+    chain, falling back to the `default` chain, looping up to
+    `urlnormalizer.loop.count` times until the URL stops changing.
+  * Regex rewrite rules — plugin urlnormalizer-regex +
+    conf/regex-normalize.xml.template: ordered Perl5 s///g rules
+    (session-id strip, interpage anchors, ?&, && runs, trailing
+    junk, file:// collapse, duplicate-slash collapse).
+  * Host aliasing — plugin urlnormalizer-host +
+    conf/host-urlnormalizer.txt: `host replacement` lines, with
+    `*.domain` wildcards.
+  * PrefixURLFilter — plugin urlfilter-prefix: accept only URLs
+    starting with a listed prefix (PrefixStringMatcher.shortestMatch).
+  * SuffixURLFilter — plugin urlfilter-suffix +
+    conf/suffix-urlfilter.txt.template: suffix blocklist/allowlist with
+    `+/-` mode lines and `I` (ignore case) / `P` (match path only)
+    flags (SuffixURLFilter.java:149-235).
+  * DomainURLFilter — plugin urlfilter-domain: accept if the URL's
+    TLD-suffix, registered domain, or host is listed; empty list
+    accepts all (DomainURLFilter.java:182-211, NUTCH-2189). The
+    blacklist variant (urlfilter-domainblacklist) inverts the verdict.
+  * ValidatorURLFilter — plugin urlfilter-validator: syntactic URL
+    validation (scheme, authority labels, legal characters).
+  * URL exemption — net/URLExemptionFilters.java + plugin
+    urlfilter-ignoreexempt: URLs matching exemption rules bypass the
+    ignore-external restriction (used from ParseOutputFormat.java:356-358);
+    exposed here as `ExemptionRules` consumed by operators/parse.py.
+
+Execution notes: chains and filters are plain-python predicates over
+strings, exposed as Arrow-batched pandas UDFs for DataFrame use. They
+belong on the SLOW path (seed prep, outlink slow path, readdb dumps) —
+the hot parse path keeps its pure-Column fast predicates and only rows
+that fail the canonical fast check reach these.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .urls import get_domain, get_host, normalize_url
+
+# ---------------------------------------------------------------------
+# regex normalizer (urlnormalizer-regex)
+# ---------------------------------------------------------------------
+
+# conf/regex-normalize.xml.template active rules, in file order;
+# substitutions translated Perl5 $N → python \N.
+REGEX_NORMALIZE_DEFAULT_RULES: list[tuple[str, str]] = [
+    # strip session ids (sid/phpsessid/sessionid, optional l/j/bv_ prefix)
+    (r"(?i)(;?\b_?(l|j|bv_)?(sid|phpsessid|sessionid)=.*?)(\?|&|#|$)", r"\4"),
+    # remove interpage href anchors such as page#anchor
+    (r"#.*?(\?|&|$)", r"\1"),
+    # cleanup '?&' after sessionid removal
+    (r"\?&", "?"),
+    # collapse runs of '&&'
+    (r"&{2,}", "&"),
+    # strip trailing '?', '&' or '.'
+    (r"[?&.]$", ""),
+    # normalize file:// prefix
+    (r"^file://+", "file:/"),
+    # collapse duplicate slashes not preceded by ':'
+    (r"(?<!:)/{2,}", "/"),
+]
+
+
+class RegexNormalizer:
+    """Ordered s///g rewrite rules (RegexURLNormalizer semantics)."""
+
+    def __init__(self, rules: list[tuple[str, str]] | None = None):
+        src = REGEX_NORMALIZE_DEFAULT_RULES if rules is None else rules
+        self._rules = [(re.compile(p), s) for p, s in src]
+
+    def __call__(self, url: str | None) -> str | None:
+        if url is None:
+            return None
+        for pat, sub in self._rules:
+            url = pat.sub(sub, url)
+        return url
+
+
+def parse_host_rules(text: str) -> tuple[dict, dict]:
+    """conf/host-urlnormalizer.txt lines: `host replacement`;
+    `*.domain replacement` rewrites every subdomain of `domain`."""
+    exact: dict[str, str] = {}
+    wildcard: dict[str, str] = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split()
+        if len(parts) != 2:
+            continue
+        src, dst = parts
+        if src.startswith("*."):
+            wildcard[src[2:].lower()] = dst.lower()
+        else:
+            exact[src.lower()] = dst.lower()
+    return exact, wildcard
+
+
+_HOST_SPLIT_RE = re.compile(r"(\A[a-z][a-z0-9+.\-]*://)([^/:?#]+)(.*)\Z", re.I)
+
+
+class HostNormalizer:
+    """Rename hosts to canonical spellings (urlnormalizer-host)."""
+
+    def __init__(self, exact: dict[str, str], wildcard: dict[str, str] | None = None):
+        self.exact = {k.lower(): v for k, v in exact.items()}
+        self.wildcard = {k.lower(): v for k, v in (wildcard or {}).items()}
+
+    @classmethod
+    def from_rules(cls, text: str) -> "HostNormalizer":
+        return cls(*parse_host_rules(text))
+
+    def __call__(self, url: str | None) -> str | None:
+        if url is None:
+            return None
+        m = _HOST_SPLIT_RE.match(url)
+        if not m:
+            return url
+        scheme, host, rest = m.groups()
+        h = host.lower()
+        if h in self.exact:
+            return scheme + self.exact[h] + rest
+        parts = h.split(".")
+        for i in range(1, len(parts)):
+            dom = ".".join(parts[i:])
+            if dom in self.wildcard:
+                return scheme + self.wildcard[dom] + rest
+        return url
+
+
+# ---------------------------------------------------------------------
+# scoped chains (net/URLNormalizers.java)
+# ---------------------------------------------------------------------
+
+SCOPE_DEFAULT = "default"
+SCOPE_PARTITION = "partition"
+SCOPE_GENERATE_HOST_COUNT = "generate_host_count"
+SCOPE_FETCHER = "fetcher"
+SCOPE_CRAWLDB = "crawldb"
+SCOPE_LINKDB = "linkdb"
+SCOPE_INJECT = "inject"
+SCOPE_OUTLINK = "outlink"
+SCOPE_INDEXER = "indexer"
+
+NormFn = Callable[[str | None], str | None]
+
+
+@dataclass
+class ScopedNormalizers:
+    """Per-scope ordered normalizer chains with default-scope fallback
+    and the reference's change-driven loop (urlnormalizer.loop.count).
+
+    The basic normalizer is always the default chain unless overridden;
+    register scope-specific chains like the plugin `.scope` properties:
+
+        sn = ScopedNormalizers()
+        sn.set_chain(SCOPE_OUTLINK, [RegexNormalizer(), normalize_url])
+    """
+
+    chains: dict[str, list[NormFn]] = field(default_factory=dict)
+    loop_count: int = 1
+
+    def __post_init__(self):
+        self.chains.setdefault(SCOPE_DEFAULT, [normalize_url])
+
+    def set_chain(self, scope: str, chain: list[NormFn]) -> None:
+        self.chains[scope] = list(chain)
+
+    def chain_for(self, scope: str) -> list[NormFn]:
+        return self.chains.get(scope, self.chains[SCOPE_DEFAULT])
+
+    def normalize(self, url: str | None, scope: str = SCOPE_DEFAULT) -> str | None:
+        chain = self.chain_for(scope)
+        for _ in range(max(1, self.loop_count)):
+            before = url
+            for fn in chain:
+                if url is None:
+                    return None
+                url = fn(url)
+            if url == before:  # fixed point reached — stop early
+                break
+        return url
+
+    def udf(self, scope: str = SCOPE_DEFAULT):
+        """Arrow-batched pandas UDF applying this scope's chain."""
+
+        def _apply(s: pd.Series) -> pd.Series:
+            return pd.Series(
+                [self.normalize(v, scope) for v in s], index=s.index
+            )
+
+        return F.pandas_udf(_apply, T.StringType())
+
+    def with_normalized(self, df, src: str, dst: str, scope: str = SCOPE_DEFAULT):
+        return df.withColumn(dst, self.udf(scope)(F.col(src)))
+
+
+# ---------------------------------------------------------------------
+# filters (urlfilter-prefix / -suffix / -domain / -validator)
+# ---------------------------------------------------------------------
+
+
+class PrefixFilter:
+    """Accept only URLs starting with a listed prefix."""
+
+    def __init__(self, prefixes: list[str]):
+        self.prefixes = tuple(prefixes)
+
+    @classmethod
+    def from_rules(cls, text: str) -> "PrefixFilter":
+        return cls(
+            [
+                ln.strip()
+                for ln in text.splitlines()
+                if ln.strip() and not ln.startswith("#")
+            ]
+        )
+
+    def __call__(self, url: str | None) -> bool:
+        return url is not None and url.startswith(self.prefixes)
+
+
+_PATH_RE = re.compile(r"\A[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", re.I)
+
+
+class SuffixFilter:
+    """Suffix allow/block list with I (ignore case) / P (path only)
+    flags — SuffixURLFilter.java:149-235. mode_accept=False (default,
+    a `-` mode line): a suffix MATCH accepts; mode_accept=True (`+`):
+    a match rejects — the template is `+I +P` + media extensions, i.e.
+    a case-insensitive path-suffix blocklist."""
+
+    def __init__(self, suffixes: list[str], mode_accept: bool = False,
+                 filter_from_path: bool = False, ignore_case: bool = False):
+        self.ignore_case = ignore_case
+        self.filter_from_path = filter_from_path
+        self.mode_accept = mode_accept
+        self.suffixes = tuple(
+            s.lower() for s in suffixes
+        ) if ignore_case else tuple(suffixes)
+
+    @classmethod
+    def from_rules(cls, text: str) -> "SuffixFilter":
+        suffixes: list[str] = []
+        allow = False
+        from_path = False
+        ignore = False
+        for raw in text.splitlines():
+            line = raw.strip()
+            if not line or line[0] in "# \n":
+                continue
+            if line[0] in "+-":
+                allow = line[0] == "+"
+                from_path = from_path or "P" in line
+                ignore = ignore or "I" in line
+            else:
+                suffixes.append(line)
+        return cls(suffixes, allow, from_path, ignore)
+
+    def __call__(self, url: str | None) -> bool:
+        if url is None:
+            return False
+        u = url.lower() if self.ignore_case else url
+        if self.filter_from_path:
+            m = _PATH_RE.match(u)
+            if m:
+                u = m.group(1)
+        matched = u.endswith(self.suffixes) if self.suffixes else False
+        # reference truth table (SuffixURLFilter.java:166-177):
+        #   mode_accept (+): accept iff NO suffix matched (blocklist)
+        #   default    (-): accept iff a suffix matched (allowlist);
+        #                   empty list ⇒ reject everything
+        return (not matched) if self.mode_accept else matched
+
+
+class DomainFilter:
+    """Accept if TLD-suffix, registered domain, or host is listed;
+    empty list accepts everything (NUTCH-2189). blacklist=True inverts
+    (urlfilter-domainblacklist)."""
+
+    def __init__(self, domains: list[str], blacklist: bool = False):
+        self.domains = {d.strip().lower() for d in domains if d.strip()}
+        self.blacklist = blacklist
+
+    @classmethod
+    def from_rules(cls, text: str, blacklist: bool = False) -> "DomainFilter":
+        return cls(
+            [
+                ln
+                for ln in text.splitlines()
+                if ln.strip() and not ln.startswith("#")
+            ],
+            blacklist,
+        )
+
+    def _listed(self, url: str) -> bool:
+        host = get_host(url)
+        if host is None:
+            return False
+        domain = get_domain(host) or host
+        suffix = domain.split(".", 1)[1] if "." in domain else domain
+        return (
+            suffix in self.domains
+            or domain in self.domains
+            or host in self.domains
+        )
+
+    def __call__(self, url: str | None) -> bool:
+        if url is None:
+            return False
+        if not self.domains:
+            return True  # empty list: accept all (NUTCH-2189)
+        listed = self._listed(url)
+        return not listed if self.blacklist else listed
+
+
+_VALID_URL_RE = re.compile(
+    r"\A(?:https?|ftp)://"
+    r"(?:[A-Za-z0-9](?:[A-Za-z0-9\-]{0,61}[A-Za-z0-9])?)"
+    r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9\-]{0,61}[A-Za-z0-9])?)*"
+    r"(?::\d{1,5})?"
+    r"(?:/[A-Za-z0-9\-._~%!$&'()*+,;=:@/]*)?"
+    r"(?:\?[A-Za-z0-9\-._~%!$&'()*+,;=:@/?]*)?\Z"
+)
+
+
+class ValidatorFilter:
+    """Syntactic URL validation (urlfilter-validator semantics: scheme,
+    authority label shape, legal characters)."""
+
+    def __call__(self, url: str | None) -> bool:
+        return url is not None and _VALID_URL_RE.match(url) is not None
+
+
+class FilterChain:
+    """Ordered filter conjunction — URLFilters.filter: the first filter
+    returning null rejects the URL."""
+
+    def __init__(self, filters: list[Callable[[str | None], bool]]):
+        self.filters = list(filters)
+
+    def __call__(self, url: str | None) -> bool:
+        return all(f(url) for f in self.filters)
+
+    def udf(self):
+        def _apply(s: pd.Series) -> pd.Series:
+            return pd.Series([self(v) for v in s], index=s.index, dtype=bool)
+
+        return F.pandas_udf(_apply, T.BooleanType())
+
+
+# ---------------------------------------------------------------------
+# exemption rules (URLExemptionFilters / urlfilter-ignoreexempt)
+# ---------------------------------------------------------------------
+
+
+class ExemptionRules:
+    """Regex rules exempting target URLs from the ignore-external
+    restriction (isExempted(fromUrl, toUrl) — the default plugin
+    matches toUrl against its rule list)."""
+
+    def __init__(self, patterns: list[str]):
+        self._res = [re.compile(p) for p in patterns]
+        # single alternation for the JVM-side fast path
+        self.java_pattern = "|".join(f"(?:{p})" for p in patterns) or None
+
+    def is_exempted(self, from_url: str | None, to_url: str | None) -> bool:
+        if to_url is None:
+            return False
+        return any(r.search(to_url) for r in self._res)

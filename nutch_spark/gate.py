@@ -1180,6 +1180,87 @@ FROM subs
 """
 
 
+def q_url_normalize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the REAL RegexNormalizer (regex-normalize.xml rule table)
+    end-to-end over URLs carrying session ids, '&&' runs, and trailing
+    junk; the oracle constructs the expected rewrite directly (the rule
+    table uses lookbehind, which RE2-based SQL engines can't run)."""
+    from .functions.urlplugins import ScopedNormalizers, RegexNormalizer
+
+    _views(spark, sf_dir, ["orders"])
+    raw = spark.sql(
+        f"""
+        SELECT concat({_url('o_orderkey')}, ';jsessionid=',
+                      md5(cast(o_orderkey as string)),
+                      '?q=', cast(o_orderkey as string),
+                      '&&r=', cast(o_orderkey % 7 as string), '.') AS url
+        FROM orders
+        """
+    )
+    sn = ScopedNormalizers()
+    sn.set_chain("outlink", [RegexNormalizer()])
+    return sn.with_normalized(raw, "url", "normalized", scope="outlink")
+
+
+ORACLE_URL_NORMALIZE_REGEX = f"""
+SELECT concat({_url('o_orderkey')}, ';jsessionid=',
+              md5(cast(o_orderkey as string)),
+              '?q=', cast(o_orderkey as string),
+              '&&r=', cast(o_orderkey % 7 as string), '.') AS url,
+       concat({_url('o_orderkey')},
+              '?q=', cast(o_orderkey as string),
+              '&r=', cast(o_orderkey % 7 as string)) AS normalized
+FROM orders
+"""
+
+
+def q_urlfilter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix + suffix(+I+P blocklist) + domain filter chain over URLs
+    with mixed schemes/extensions/domains — accepted URLs only."""
+    from .functions.urlplugins import (
+        DomainFilter,
+        FilterChain,
+        PrefixFilter,
+        SuffixFilter,
+    )
+
+    _views(spark, sf_dir, ["orders"])
+    raw = spark.sql(
+        f"""
+        SELECT concat(
+          case when o_orderkey % 5 = 4 then 'ftp://' else 'http://' end,
+          'host', cast(o_orderkey % 97 as string),
+          '.example', cast(o_orderkey % 3 as string), '.com/p/',
+          cast(o_orderkey as string),
+          case o_orderkey % 4 when 0 then '.gif' when 1 then '.GIF'
+               when 2 then '.html' else '' end) AS url
+        FROM orders
+        """
+    )
+    chain = FilterChain(
+        [
+            PrefixFilter(["http://", "https://"]),
+            SuffixFilter.from_rules("+I +P\n.gif\n.png\n"),
+            DomainFilter(["example0.com", "example1.com"]),
+        ]
+    )
+    return raw.filter(chain.udf()(F.col("url"))).select("url")
+
+
+# accepted ⇔ http scheme (k%5≠4) ∧ suffix ∉ {gif} case-insens (k%4∉{0,1})
+# ∧ registered domain ∈ allowlist (k%3∈{0,1})
+ORACLE_URLFILTER_CHAIN = f"""
+SELECT concat('http://', 'host', cast(o_orderkey % 97 as string),
+              '.example', cast(o_orderkey % 3 as string), '.com/p/',
+              cast(o_orderkey as string),
+              case when o_orderkey % 4 = 2 then '.html' else '' end) AS url
+FROM orders
+WHERE o_orderkey % 5 <> 4
+  AND o_orderkey % 4 in (2, 3)
+  AND o_orderkey % 3 in (0, 1)
+"""
+
+
 def q_linkrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LinkRank scores (rows-only: iterative double sums are reduction-
     order dependent, so no cross-engine value hash; convergence and
@@ -1215,6 +1296,8 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "text_profile_signature": (q_text_profile, ORACLE_TEXT_PROFILE),
     "index_documents": (q_index_documents, ORACLE_INDEX_DOCUMENTS),
     "parse_canonical": (q_parse_canonical, ORACLE_PARSE_CANONICAL),
+    "url_normalize_regex": (q_url_normalize_regex, ORACLE_URL_NORMALIZE_REGEX),
+    "urlfilter_chain": (q_urlfilter_chain, ORACLE_URLFILTER_CHAIN),
     "bloom_unseen": (q_bloom_unseen, None),
     "linkrank": (q_linkrank, None),
     "updatedb_adaptive": (q_updatedb_adaptive, ORACLE_UPDATEDB_ADAPTIVE),

@@ -99,7 +99,8 @@ def _text_col():
 
 
 def _host_kind_filter(
-    to_url: Column, page_host: Column, ignore_external: bool, external_mode: str
+    to_url: Column, page_host: Column, ignore_external: bool,
+    external_mode: str, exemptions=None,
 ) -> Column:
     if not ignore_external:
         return F.lit(True)
@@ -107,8 +108,14 @@ def _host_kind_filter(
     if external_mode == "byDomain":
         # domain_col, not the pandas UDF: this predicate runs inside an
         # array lambda on the fast path, where python UDFs are rejected
-        return domain_col(to_host) == domain_col(page_host)
-    return to_host == page_host
+        ok = domain_col(to_host) == domain_col(page_host)
+    else:
+        ok = to_host == page_host
+    if exemptions is not None and exemptions.java_pattern:
+        # URLExemptionFilters.isExempted (ParseOutputFormat.java:356-358):
+        # exempted targets bypass the ignore-external restriction
+        ok = ok | to_url.rlike(exemptions.java_pattern)
+    return ok
 
 
 def parse(
@@ -119,6 +126,7 @@ def parse(
     score_internal: float = Defaults.SCORE_LINK_INTERNAL,
     score_external: float = Defaults.SCORE_LINK_EXTERNAL,
     hooks: ScoringHooks = OPIC,
+    exemptions=None,  # functions.urlplugins.ExemptionRules | None
 ) -> tuple[DataFrame, DataFrame]:
     """fetch_results → (parse_data, crawl_parse).
 
@@ -127,7 +135,8 @@ def parse(
     the STORED table to `crawl_parse_from` so the extraction chain runs
     exactly once per page."""
     pd_ = parse_pages(
-        fetch_results, max_outlinks, ignore_external, external_mode
+        fetch_results, max_outlinks, ignore_external, external_mode,
+        exemptions,
     )
     cp = crawl_parse_from(
         pd_, fetch_results, score_internal, score_external, hooks
@@ -140,6 +149,7 @@ def parse_pages(
     max_outlinks: int = Defaults.MAX_OUTLINKS_PER_PAGE,
     ignore_external: bool = False,
     external_mode: str = "byHost",
+    exemptions=None,
 ) -> DataFrame:
     """extraction + outlink pipeline → parse_data, in one lineage.
 
@@ -152,7 +162,7 @@ def parse_pages(
     filters), so cutting the lineage there is worth one extra write."""
     return finish_pages(
         extract_pages(fetch_results), max_outlinks, ignore_external,
-        external_mode,
+        external_mode, exemptions,
     )
 
 
@@ -222,6 +232,7 @@ def finish_pages(
     max_outlinks: int = Defaults.MAX_OUTLINKS_PER_PAGE,
     ignore_external: bool = False,
     external_mode: str = "byHost",
+    exemptions=None,
 ) -> DataFrame:
     """Outlink pipeline over extracted pages → parse_data."""
 
@@ -236,7 +247,9 @@ def finish_pages(
     )
     fast = base.filter(all_canonical)
     ext_ok = (
-        (lambda u: _host_kind_filter(u, F.col("host"), ignore_external, external_mode))
+        (lambda u: _host_kind_filter(
+            u, F.col("host"), ignore_external, external_mode, exemptions
+        ))
         if ignore_external
         else (lambda u: F.lit(True))
     )
@@ -278,7 +291,7 @@ def finish_pages(
     # --- slow path: some outlink needs real normalization ---
     slow = base.filter(~all_canonical)
     slow_pages = _slow_outlink_pipeline(
-        slow, max_outlinks, ignore_external, external_mode
+        slow, max_outlinks, ignore_external, external_mode, exemptions
     )
 
     pages = fast_pages.unionByName(slow_pages)
@@ -412,6 +425,7 @@ def _slow_outlink_pipeline(
     max_outlinks: int,
     ignore_external: bool,
     external_mode: str,
+    exemptions=None,
 ) -> DataFrame:
     """Explode → pandas-normalize → window dedup/cap, for the rare pages
     whose outlinks need real normalization. Normalize happens BEFORE
@@ -430,11 +444,12 @@ def _slow_outlink_pipeline(
         & (F.col("to_url") != F.col("url"))
     )
     if ignore_external:
-        to_host = host_of(F.col("to_url"))
-        if external_mode == "byDomain":
-            ex = ex.filter(domain_col(to_host) == domain_col(F.col("host")))
-        else:
-            ex = ex.filter(to_host == F.col("host"))
+        ex = ex.filter(
+            _host_kind_filter(
+                F.col("to_url"), F.col("host"), ignore_external,
+                external_mode, exemptions,
+            )
+        )
     w_dup = Window.partitionBy("url", "to_url").orderBy("pos")
     w_page = Window.partitionBy("url").orderBy("pos")
     kept = (

@@ -1,0 +1,182 @@
+"""Normalizer/filter plugin parity goldens — cases re-derived from the
+reference plugin test semantics (urlnormalizer-regex
+TestRegexURLNormalizer + conf/regex-normalize.xml.template,
+urlfilter-suffix TestSuffixURLFilter, urlfilter-prefix,
+urlfilter-domain TestDomainURLFilter, urlnormalizer-host,
+net/URLNormalizers scopes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nutch_spark.functions.urlplugins import (
+    SCOPE_DEFAULT,
+    SCOPE_OUTLINK,
+    DomainFilter,
+    ExemptionRules,
+    FilterChain,
+    HostNormalizer,
+    PrefixFilter,
+    RegexNormalizer,
+    ScopedNormalizers,
+    SuffixFilter,
+    ValidatorFilter,
+)
+from nutch_spark.functions.urls import normalize_url
+
+REGEX_CASES = [
+    # session-id strip (rule 1)
+    ("http://h.com/p;jsessionid=abc123?q=1", "http://h.com/p?q=1"),
+    ("http://h.com/p?PHPSESSID=xyz&a=1", "http://h.com/p?a=1"),
+    ("http://h.com/p?a=1&sid=deadbeef", "http://h.com/p?a=1"),
+    # interpage anchors (rule 2)
+    ("http://h.com/page#anchor", "http://h.com/page"),
+    ("http://h.com/page#a?q=1", "http://h.com/page?q=1"),
+    # '?&' cleanup + '&&' runs (rules 3-4)
+    ("http://h.com/p?&a=1", "http://h.com/p?a=1"),
+    ("http://h.com/p?a=1&&&b=2", "http://h.com/p?a=1&b=2"),
+    # trailing junk (rule 5)
+    ("http://h.com/p?", "http://h.com/p"),
+    ("http://h.com/p.", "http://h.com/p"),
+    # file scheme + duplicate slashes (rules 6-7)
+    ("file:////etc/x", "file:/etc/x"),
+    ("http://h.com/a//b///c", "http://h.com/a/b/c"),
+    # '://' double slash untouched
+    ("http://h.com/", "http://h.com/"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", REGEX_CASES)
+def test_regex_normalizer_golden(raw, expected):
+    assert RegexNormalizer()(raw) == expected
+
+
+def test_scoped_chains_fallback_and_loop():
+    sn = ScopedNormalizers()
+    sn.set_chain(SCOPE_OUTLINK, [RegexNormalizer(), normalize_url])
+    # outlink scope: regex rules run, then basic canonicalization
+    assert (
+        sn.normalize("HTTP://H.com/a//b;jsessionid=q?x=1", SCOPE_OUTLINK)
+        == "http://h.com/a/b?x=1"
+    )
+    # unknown scope falls back to the default chain (basic only)
+    assert sn.normalize("HTTP://H.com/a//b", "fetcher") == "http://h.com/a/b"
+    assert sn.normalize(None, SCOPE_DEFAULT) is None
+
+
+def test_scoped_loop_until_fixed_point():
+    # urlnormalizer.loop.count: each extra pass re-runs the chain until
+    # the URL stops changing; a shrink-by-one rule makes passes visible
+    shrink = RegexNormalizer([(r"aaa", "aa")])
+    one = ScopedNormalizers(loop_count=1)
+    one.set_chain("x", [shrink])
+    assert one.normalize("http://h.com/aaaaa", "x") == "http://h.com/aaaa"
+    three = ScopedNormalizers(loop_count=3)
+    three.set_chain("x", [shrink])
+    assert three.normalize("http://h.com/aaaaa", "x") == "http://h.com/aa"
+
+
+def test_host_normalizer_rules():
+    hn = HostNormalizer.from_rules(
+        "# comment\nwww.apache.org apache.org\n*.example.org example.org\n"
+    )
+    assert hn("http://www.apache.org/x?y=1") == "http://apache.org/x?y=1"
+    assert hn("https://a.b.example.org/y") == "https://example.org/y"
+    assert hn("http://other.com/z") == "http://other.com/z"
+    assert hn(None) is None
+
+
+def test_prefix_filter():
+    pf = PrefixFilter.from_rules("# c\nhttp://\nhttps://\n")
+    assert pf("http://h.com/")
+    assert pf("https://h.com/")
+    assert not pf("ftp://h.com/")
+    assert not pf(None)
+
+
+def test_suffix_filter_template_blocklist():
+    sf = SuffixFilter.from_rules("+I +P\n.gif\n.png\n")
+    assert sf.mode_accept and sf.ignore_case and sf.filter_from_path
+    assert not sf("http://h.com/a.gif")
+    assert not sf("http://h.com/a.GIF")  # I: case-insensitive
+    assert not sf("http://h.com/a.gif?x=1")  # P: match on path only
+    assert sf("http://h.com/a.html")
+    assert sf("http://h.com/gif")  # no dot — not a suffix match
+
+
+def test_suffix_filter_allowlist_mode():
+    sf = SuffixFilter.from_rules("-\n.html\n")
+    assert sf("http://h.com/a.html")
+    assert not sf("http://h.com/a.gif")
+    # empty list in allowlist mode rejects everything (reference warn)
+    assert not SuffixFilter([])("http://h.com/a")
+
+
+def test_domain_filter_and_blacklist():
+    df = DomainFilter(["example0.com", "www.special.net"])
+    assert df("http://a.example0.com/x")  # domain listed
+    assert df("http://www.special.net/x")  # host listed
+    assert not df("http://a.example2.com/x")
+    assert DomainFilter([])("http://anything/")  # empty set accepts
+    bl = DomainFilter(["bad.com"], blacklist=True)
+    assert not bl("http://x.bad.com/")
+    assert bl("http://good.com/")
+
+
+def test_validator_filter():
+    vf = ValidatorFilter()
+    assert vf("http://h.com/a/b?q=1")
+    assert not vf("http://h..com/")
+    assert not vf("http://h .com/")
+    assert not vf("notaurl")
+
+
+def test_filter_chain_conjunction(spark):
+    chain = FilterChain(
+        [
+            PrefixFilter(["http://", "https://"]),
+            SuffixFilter.from_rules("+I +P\n.gif\n"),
+            DomainFilter(["example0.com"]),
+        ]
+    )
+    assert chain("http://a.example0.com/x.html")
+    assert not chain("http://a.example0.com/x.gif")
+    assert not chain("ftp://a.example0.com/x.html")
+    assert not chain("http://a.other.com/x.html")
+    # vectorized over a DataFrame
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("http://a.example0.com/x.html",), ("http://a.other.com/x.html",)],
+        ["url"],
+    )
+    got = {r.url: r.ok for r in df.withColumn("ok", chain.udf()(F.col("url"))).collect()}
+    assert got == {
+        "http://a.example0.com/x.html": True,
+        "http://a.other.com/x.html": False,
+    }
+
+
+def test_exemption_bypasses_ignore_external(spark):
+    """ParseOutputFormat.java:356-358: exempted targets survive the
+    ignore-external drop."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.parse import parse
+    from nutch_spark.schema import FETCH_RESULTS
+    from tests.test_parse import fetch_result_row, spans_of
+
+    spans = spans_of(
+        ("media", "http://h.example.com/in"),
+        ("media", "http://cdn.partner.net/asset"),
+        ("media", "http://other.net/out"),
+    )
+    df = spark.createDataFrame(
+        [fetch_result_row("http://h.example.com/p", spans)], FETCH_RESULTS
+    )
+    ex = ExemptionRules([r"://cdn\.partner\.net/"])
+    pd_, _ = parse(df, ignore_external=True, exemptions=ex)
+    assert [o.to_url for o in pd_.collect()[0].outlinks] == [
+        "http://h.example.com/in",
+        "http://cdn.partner.net/asset",
+    ]
