@@ -94,10 +94,14 @@ def set_fetch_schedule_adaptive(
         META_FIXED_INTERVAL_KEY,
     ).cast("double")
 
+    # inc/dec may be python floats or per-row Columns (MimeAdaptive);
+    # 1.0±rate computes the identical double either way
+    inc_c = inc_rate if isinstance(inc_rate, Column) else F.lit(float(inc_rate))
+    dec_c = dec_rate if isinstance(dec_rate, Column) else F.lit(float(dec_rate))
     mod_time = F.when(modified_time_ms <= 0, fetch_time_ms).otherwise(modified_time_ms)
     interval1 = (
-        F.when(state == STATE_MODIFIED, interval0 * F.lit(1.0 - dec_rate))
-        .when(state == STATE_NOTMODIFIED, interval0 * F.lit(1.0 + inc_rate))
+        F.when(state == STATE_MODIFIED, interval0 * (F.lit(1.0) - dec_c))
+        .when(state == STATE_NOTMODIFIED, interval0 * (F.lit(1.0) + inc_c))
         .otherwise(interval0)
     )
     if sync_delta:
@@ -126,6 +130,70 @@ def set_fetch_schedule_adaptive(
         "modified_time": final_mod.cast("long"),
         "retries": F.lit(0),
     }
+
+
+META_CONTENT_TYPE_KEY = "Content-Type"  # HttpHeaders.WRITABLE_CONTENT_TYPE
+
+# conf/adaptive-mimetypes.txt defaults: mime → (inc_rate, dec_rate)
+DEFAULT_MIME_RATES: dict[str, tuple[float, float]] = {
+    "text/html": (0.2, 0.2),
+    "application/xhtml+xml": (0.2, 0.2),
+    "application/pdf": (0.1, 0.4),
+}
+
+
+def parse_mime_rates(text: str) -> dict[str, tuple[float, float]]:
+    """db.fetch.schedule.mime.file lines: `mime\\tinc\\tdec`
+    (MimeAdaptiveFetchSchedule.readMimeFile)."""
+    out: dict[str, tuple[float, float]] = {}
+    for line in text.splitlines():
+        if not line.strip() or line.startswith("#"):
+            continue
+        parts = line.split("\t")
+        if len(parts) == 3:
+            out[parts[0].lower()] = (float(parts[1]), float(parts[2]))
+    return out
+
+
+def set_fetch_schedule_mime_adaptive(
+    fetch_interval: Column,
+    fetch_time_ms: Column,
+    modified_time_ms: Column,
+    state: Column,
+    metadata: Column,
+    mime_rates: dict[str, tuple[float, float]] | None = None,
+    default_inc: float = Defaults.ADAPTIVE_INC_RATE,
+    default_dec: float = Defaults.ADAPTIVE_DEC_RATE,
+    **adaptive_kwargs,
+) -> dict[str, Column]:
+    """AdaptiveFetchSchedule with per-MIME inc/dec rates
+    (MimeAdaptiveFetchSchedule.java:30-235): the datum's Content-Type
+    metadata picks the rate pair; unknown/absent MIME falls back to the
+    adaptive defaults. The rate table becomes one CASE expression over
+    the cleaned MIME (lowercased, parameters stripped — MimeUtil
+    .cleanMimeType), so the whole schedule stays a codegen'd column
+    program — no per-row lookup."""
+    rates = DEFAULT_MIME_RATES if mime_rates is None else mime_rates
+    raw_ct = F.element_at(
+        F.coalesce(metadata, F.create_map().cast("map<string,string>")),
+        META_CONTENT_TYPE_KEY,
+    )
+    cleaned = F.lower(F.trim(F.substring_index(raw_ct, ";", 1)))
+    inc_col: Column = F.lit(float(default_inc))
+    dec_col: Column = F.lit(float(default_dec))
+    for mime, (inc, dec) in sorted(rates.items()):
+        inc_col = F.when(cleaned == mime, F.lit(float(inc))).otherwise(inc_col)
+        dec_col = F.when(cleaned == mime, F.lit(float(dec))).otherwise(dec_col)
+    return set_fetch_schedule_adaptive(
+        fetch_interval,
+        fetch_time_ms,
+        modified_time_ms,
+        state,
+        metadata,
+        inc_rate=inc_col,
+        dec_rate=dec_col,
+        **adaptive_kwargs,
+    )
 
 
 def set_page_gone_schedule(

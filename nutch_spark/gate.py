@@ -993,6 +993,94 @@ FROM br
 """
 
 
+# fetch results with a Content-Type metadata header (1/3 html, 1/3 pdf
+# with parameters, 1/3 png ⇒ per-MIME inc/dec rates + default fallback)
+FETCH_MIME_SQL = f"""
+SELECT
+  {_url('o_orderkey')} AS url,
+  cast(case o_orderkey % 18
+       when 1 then 33 when 4 then 34 when 7 then 35
+       when 10 then 36 when 13 then 37 else 38 end as int) AS status,
+  cast({CUR_MS} as bigint) AS fetch_time,
+  cast(o_orderkey % 4 as int) AS retries,
+  cast(case when o_orderkey % 10 = 0 then 8000000 else 2592000 end as int)
+    AS fetch_interval,
+  cast((o_orderkey % 41) * 0.25 as double) AS score,
+  cast(0 as bigint) AS prev_modified_time,
+  case o_orderkey % 9 when 1 then 'text/html'
+       when 4 then 'application/pdf; version=1.7'
+       else 'image/png' end AS mime
+FROM orders
+WHERE o_orderkey % 3 = 1
+"""
+
+
+def q_updatedb_mime_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """updatedb with MimeAdaptiveFetchSchedule: the datum's
+    Content-Type picks (inc, dec) from the adaptive-mimetypes table
+    (pdf 0.1/0.4; html 0.2/0.2; unknown falls back to defaults)."""
+    from .operators.updatedb import updatedb
+
+    _views(spark, sf_dir, ["orders"])
+    fres = (
+        spark.sql(FETCH_MIME_SQL)
+        .withColumn(
+            "metadata",
+            F.create_map(F.lit("Content-Type"), F.col("mime")),
+        )
+        .drop("mime")
+    )
+    out = updatedb(
+        spark,
+        frontier_df(spark, sf_dir),
+        fres,
+        crawl_parse_df(spark, sf_dir),
+        CUR_MS,
+        schedule="mime_adaptive",
+    )
+    return out.select(
+        "url",
+        F.col("status").cast("long").alias("status"),
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+        F.col("retries").cast("long").alias("retries"),
+        F.col("fetch_interval").cast("long").alias("fetch_interval"),
+    )
+
+
+# The mime-adaptive oracle is the adaptive oracle with (a) the mime-
+# bearing fetch CTE, (b) f_mime carried through the join, (c) the
+# per-MIME rate multipliers in place of the fixed 0.8 / 1.2. Built by
+# checked text substitution so the two oracles cannot drift apart.
+def _mime_oracle() -> str:
+    q = ORACLE_UPDATEDB_ADAPTIVE
+    subs = [
+        (FETCH_SQL, FETCH_MIME_SQL),
+        (
+            "f.prev_modified_time AS f_modified,",
+            "f.prev_modified_time AS f_modified,\n         f.mime AS f_mime,",
+        ),
+        (
+            "when state = 'modified' then i0 * 0.8",
+            "when state = 'modified' then i0 * "
+            "(case when f_mime = 'application/pdf; version=1.7' "
+            "then 0.6 else 0.8 end)",
+        ),
+        (
+            "when state = 'notmodified' then i0 * 1.2",
+            "when state = 'notmodified' then i0 * "
+            "(case when f_mime = 'application/pdf; version=1.7' "
+            "then 1.1 else 1.2 end)",
+        ),
+    ]
+    for old, new in subs:
+        assert old in q, old[:60]
+        q = q.replace(old, new)
+    return q
+
+
+ORACLE_UPDATEDB_MIME_ADAPTIVE = _mime_oracle()
+
+
 def q_bloom_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter pre-screen (rows-only: membership bit math is not
     portable SQL; the exact audit twin is `seen_exact`). False
@@ -1301,4 +1389,5 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "bloom_unseen": (q_bloom_unseen, None),
     "linkrank": (q_linkrank, None),
     "updatedb_adaptive": (q_updatedb_adaptive, ORACLE_UPDATEDB_ADAPTIVE),
+    "updatedb_mime_adaptive": (q_updatedb_mime_adaptive, ORACLE_UPDATEDB_MIME_ADAPTIVE),
 }

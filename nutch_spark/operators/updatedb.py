@@ -77,7 +77,8 @@ def updatedb(
     fetch_results: DataFrame | None,
     crawl_parse: DataFrame | None,
     cur_time_ms: int,
-    schedule: str = "default",  # default | adaptive
+    schedule: str = "default",  # default | adaptive | mime_adaptive
+    mime_rates: dict | None = None,  # mime → (inc, dec); None = defaults
     retry_max: int = Defaults.RETRY_MAX,
     max_interval: int = Defaults.FETCH_INTERVAL_MAX,
     max_inlinks: int = Defaults.MAX_INLINKS,
@@ -271,7 +272,12 @@ def updatedb(
     )
 
     # --- schedule application for the success family ---
-    if schedule == "adaptive":
+    if schedule == "mime_adaptive":
+        sch = sched.set_fetch_schedule_mime_adaptive(
+            seed_interval, f_fetch_time, f_modified, state, seed_meta,
+            mime_rates=mime_rates,
+        )
+    elif schedule == "adaptive":
         sch = sched.set_fetch_schedule_adaptive(
             seed_interval, f_fetch_time, f_modified, state, seed_meta
         )

@@ -373,3 +373,55 @@ def test_scoring_hooks_change_updatedb_score(spark):
     out_h = updatedb(spark, frontier, None, cp, T0, hooks=half).collect()[0]
     assert abs(out_d.score - 1.75) < 1e-6
     assert abs(out_h.score - 1.375) < 1e-6
+
+
+def test_mime_adaptive_rates(spark):
+    """MimeAdaptiveFetchSchedule: the datum's Content-Type picks the
+    inc/dec pair (pdf 0.1/0.4, unknown falls back to 0.2/0.2) —
+    MimeAdaptiveFetchSchedule.java:30-235."""
+    old_sig = "aaa"
+    frontier = spark.createDataFrame(
+        [frontier_row(STATUS_DB_FETCHED, signature=old_sig)], FRONTIER
+    )
+
+    def run_with_mime(mime):
+        fetch = spark.createDataFrame(
+            [fetch_row(STATUS_FETCH_SUCCESS,
+                       metadata={"Content-Type": mime} if mime else None)],
+            FETCH_RESULTS,
+        )
+        cp = spark.createDataFrame([sig_row(signature="bbb")], CRAWL_PARSE)
+        return updatedb(
+            spark, frontier, fetch, cp, T0, schedule="mime_adaptive"
+        ).collect()[0]
+
+    base = Defaults.FETCH_INTERVAL  # 2592000, state=modified → ×(1-dec)
+    pdf = run_with_mime("application/pdf; version=1.7")
+    assert pdf.fetch_interval == int(base * (1.0 - 0.4))
+    html = run_with_mime("text/html")
+    assert html.fetch_interval == int(base * (1.0 - 0.2))
+    unknown = run_with_mime("image/png")
+    assert unknown.fetch_interval == int(base * (1.0 - 0.2))
+    absent = run_with_mime(None)
+    assert absent.fetch_interval == int(base * (1.0 - 0.2))
+
+
+def test_mime_adaptive_custom_table(spark):
+    from nutch_spark.functions.schedules import parse_mime_rates
+
+    rates = parse_mime_rates("# c\ntext/html\t0.5\t0.5\nbad line\n")
+    assert rates == {"text/html": (0.5, 0.5)}
+    frontier = spark.createDataFrame(
+        [frontier_row(STATUS_DB_FETCHED, signature="aaa")], FRONTIER
+    )
+    fetch = spark.createDataFrame(
+        [fetch_row(STATUS_FETCH_SUCCESS,
+                   metadata={"Content-Type": "text/html"})],
+        FETCH_RESULTS,
+    )
+    cp = spark.createDataFrame([sig_row(signature="bbb")], CRAWL_PARSE)
+    out = updatedb(
+        spark, frontier, fetch, cp, T0,
+        schedule="mime_adaptive", mime_rates=rates,
+    ).collect()[0]
+    assert out.fetch_interval == int(Defaults.FETCH_INTERVAL * 0.5)
