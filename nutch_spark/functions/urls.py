@@ -345,6 +345,64 @@ def domain_col(host_col):
     )
 
 
+def _jsplit_len(s: str, sep: str) -> int:
+    """Java String.split length: trailing empty strings removed."""
+    parts = s.split(sep)
+    while parts and parts[-1] == "":
+        parts.pop()
+    return len(parts)
+
+
+def choose_repr(src: str | None, dst: str | None, temp: bool) -> str | None:
+    """Representative URL choice on redirect (URLUtil.chooseRepr,
+    util/URLUtil.java:325-417; used by FetcherThread.java:463 and
+    ParseOutputFormat's redirect datum):
+
+      * cross-domain redirect → destination;
+      * permanent: root source keeps the source, otherwise destination;
+      * temporary: root beats non-root; same-host non-roots keep the
+        shorter path (segment count, then length); different hosts keep
+        the shorter subdomain chain.
+    """
+    if src is None or dst is None:
+        return dst
+    try:
+        sp, dp = urlsplit(src), urlsplit(dst)
+    except ValueError:
+        return dst
+    if not sp.scheme or sp.hostname is None or not dp.scheme or dp.hostname is None:
+        return dst
+    src_host, dst_host = sp.hostname, dp.hostname
+    if get_domain(src_host) != get_domain(dst_host):
+        return dst
+    src_file = sp.path + (f"?{sp.query}" if sp.query else "")
+    dst_file = dp.path + (f"?{dp.query}" if dp.query else "")
+    src_root = src_file in ("", "/")
+    dst_root = dst_file in ("", "/")
+    if not temp:
+        return src if src_root else dst
+    if src_root and not dst_root:
+        return src
+    if not src_root and dst_root:
+        return dst
+    if not src_root and not dst_root and src_host == dst_host:
+        n_src, n_dst = _jsplit_len(src_file, "/"), _jsplit_len(dst_file, "/")
+        if n_src != n_dst:
+            return dst if n_dst < n_src else src
+        return dst if len(dst_file) < len(src_file) else src
+    n_src = _jsplit_len(src_host, ".")
+    n_dst = _jsplit_len(dst_host, ".")
+    return dst if n_dst < n_src else src
+
+
+@F.pandas_udf(T.StringType())
+def choose_repr_pd(src: pd.Series, dst: pd.Series, temp: pd.Series) -> pd.Series:
+    return pd.Series(
+        [choose_repr(s, d, bool(t)) for s, d, t in zip(src, dst, temp)],
+        index=src.index,
+    )
+
+
 def url_hash_col(url_col):
     """64-bit URL hash — JVM-side xxhash64, the bloom/ordering key.
 

@@ -726,6 +726,42 @@ SEG_A_SQL = _seg_sql(3, "segA", 0)
 SEG_B_SQL = _seg_sql(2, "segB", 3_600_000)
 
 
+def q_segment_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SegmentReader -list over two segments: generated / fetcher
+    start+end / fetched / parsed stats (SegmentReader.java getStats);
+    parse output exists for half the fetched rows."""
+    from .operators.segment import segment_stats
+
+    _views(spark, sf_dir, ["orders"])
+    sa = spark.sql(SEG_A_SQL)
+    sb = spark.sql(SEG_B_SQL)
+    both = sa.unionByName(sb)
+    parsed = both.filter(F.expr("url like '%1' or url like '%3'"))
+    return segment_stats(
+        fetchlist=both, fetch_results=both, parse_data=parsed
+    )
+
+
+ORACLE_SEGMENT_LIST = f"""
+WITH sa AS ({SEG_A_SQL}), sb AS ({SEG_B_SQL}),
+ab AS (SELECT * FROM sa UNION ALL SELECT * FROM sb),
+parsed AS (SELECT * FROM ab WHERE url like '%1' or url like '%3'),
+g AS (SELECT segment, count(*) AS generated FROM ab GROUP BY segment),
+f AS (SELECT segment, count(*) AS fetched,
+             min(fetch_time) AS fetch_start, max(fetch_time) AS fetch_end
+      FROM ab GROUP BY segment),
+p AS (SELECT segment, count(*) AS parsed FROM parsed GROUP BY segment)
+SELECT g.segment,
+  cast(g.generated as bigint) AS generated,
+  cast(f.fetched as bigint) AS fetched,
+  cast(f.fetch_start as bigint) AS fetch_start,
+  cast(f.fetch_end as bigint) AS fetch_end,
+  cast(coalesce(p.parsed, -1) as bigint) AS parsed
+FROM g JOIN f ON g.segment = f.segment
+LEFT JOIN p ON g.segment = p.segment
+"""
+
+
 def q_crawldb_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.merge import merge_crawldbs
 
@@ -1268,6 +1304,95 @@ FROM subs
 """
 
 
+# homepage candidates: root URLs (fetched) for 1/50 of the keys
+HOSTDB_ROOTS_SQL = f"""
+SELECT concat('http://', {_host('o_orderkey')}, '/') AS url,
+  cast(0 as bigint) AS url_hash,
+  {_host('o_orderkey')} AS host,
+  cast(2 as int) AS status,
+  cast({CUR_MS} as bigint) AS fetch_time,
+  cast(0 as int) AS retries,
+  cast(2592000 as int) AS fetch_interval,
+  cast(0.0 as double) AS score,
+  cast(null as string) AS signature,
+  cast(0 as bigint) AS modified_time
+FROM orders WHERE o_orderkey % 50 = 0
+"""
+
+HOSTDB_DNS_FAILED_SQL = f"""
+SELECT DISTINCT {_host('o_orderkey')} AS host
+FROM orders WHERE o_orderkey % 97 % 5 = 0
+"""
+
+HOSTDB_PREV_SQL = f"""
+SELECT DISTINCT {_host('o_orderkey')} AS host, cast(2 as int) AS dns_failures
+FROM orders WHERE o_orderkey % 97 % 10 = 0
+"""
+
+
+def q_hostdb_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full UpdateHostDb over frontier + fetched root pages, with a
+    previous hostdb and a deterministic resolver verdict — exercises
+    connection-failure counts, homepage pick, dns-failure carry/reset,
+    and last-check stamping (HostDatum.java:34-193)."""
+    from .operators.linkdb import update_hostdb
+
+    _views(spark, sf_dir, ["orders"])
+    fr = frontier_df(spark, sf_dir).unionByName(
+        _null_meta(spark.sql(HOSTDB_ROOTS_SQL))
+    )
+    out = update_hostdb(
+        fr,
+        prev_hostdb=spark.sql(HOSTDB_PREV_SQL),
+        cur_time_ms=CUR_MS,
+        dns_failed_hosts=spark.sql(HOSTDB_DNS_FAILED_SQL),
+    )
+    return out.select(
+        "host",
+        F.col("num_urls").cast("long").alias("num_urls"),
+        F.col("n_db_fetched").cast("long").alias("n_db_fetched"),
+        F.col("n_db_unfetched").cast("long").alias("n_db_unfetched"),
+        F.col("n_db_gone").cast("long").alias("n_db_gone"),
+        F.col("connection_failures").cast("long").alias("connection_failures"),
+        F.col("dns_failures").cast("long").alias("dns_failures"),
+        "homepage_url",
+        F.col("last_check").cast("long").alias("last_check"),
+    )
+
+
+ORACLE_HOSTDB_UPDATE = f"""
+WITH frontier AS ({FRONTIER_SQL}),
+roots AS ({HOSTDB_ROOTS_SQL}),
+allrows AS (SELECT * FROM frontier UNION ALL SELECT * FROM roots),
+failed AS ({HOSTDB_DNS_FAILED_SQL}),
+prev AS ({HOSTDB_PREV_SQL}),
+g AS (
+  SELECT host,
+    count(*) AS num_urls,
+    sum(case when status = 2 then 1 else 0 end) AS n_db_fetched,
+    sum(case when status = 1 then 1 else 0 end) AS n_db_unfetched,
+    sum(case when status = 3 then 1 else 0 end) AS n_db_gone,
+    sum(case when retries <> 0 then 1 else 0 end) AS connection_failures,
+    max(case when url = concat('http://', host, '/') AND status in (2, 6)
+             then url end) AS homepage_url
+  FROM allrows GROUP BY host
+)
+SELECT g.host,
+  cast(num_urls as bigint) AS num_urls,
+  cast(n_db_fetched as bigint) AS n_db_fetched,
+  cast(n_db_unfetched as bigint) AS n_db_unfetched,
+  cast(n_db_gone as bigint) AS n_db_gone,
+  cast(connection_failures as bigint) AS connection_failures,
+  cast(case when f.host IS NOT NULL then coalesce(p.dns_failures, 0) + 1
+       else 0 end as bigint) AS dns_failures,
+  homepage_url,
+  cast({CUR_MS} as bigint) AS last_check
+FROM g
+LEFT JOIN failed f ON g.host = f.host
+LEFT JOIN prev p ON g.host = p.host
+"""
+
+
 def q_url_normalize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the REAL RegexNormalizer (regex-normalize.xml rule table)
     end-to-end over URLs carrying session ids, '&&' runs, and trailing
@@ -1379,12 +1504,14 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "updatedb": (q_updatedb, ORACLE_UPDATEDB),
     "crawldb_merge": (q_crawldb_merge, ORACLE_CRAWLDB_MERGE),
     "segment_merge": (q_segment_merge, ORACLE_SEGMENT_MERGE),
+    "segment_list": (q_segment_list, ORACLE_SEGMENT_LIST),
     "readdb_retry_histogram": (q_retry_histogram, ORACLE_RETRY_HISTOGRAM),
     "seen_exact": (q_seen_exact, ORACLE_SEEN_EXACT),
     "text_profile_signature": (q_text_profile, ORACLE_TEXT_PROFILE),
     "index_documents": (q_index_documents, ORACLE_INDEX_DOCUMENTS),
     "parse_canonical": (q_parse_canonical, ORACLE_PARSE_CANONICAL),
     "url_normalize_regex": (q_url_normalize_regex, ORACLE_URL_NORMALIZE_REGEX),
+    "hostdb_update": (q_hostdb_update, ORACLE_HOSTDB_UPDATE),
     "urlfilter_chain": (q_urlfilter_chain, ORACLE_URLFILTER_CHAIN),
     "bloom_unseen": (q_bloom_unseen, None),
     "linkrank": (q_linkrank, None),

@@ -154,6 +154,58 @@ def generate_threshold(
     )
 
 
+def free_generate(
+    urls: DataFrame,
+    segment: str,
+    cur_time_ms: int,
+    normalize: bool = True,
+    apply_filters: bool = True,
+    hooks: ScoringHooks = OPIC,
+    num_fetch_partitions: int | None = None,
+) -> DataFrame:
+    """Fetchlist straight from an arbitrary URL list — no CrawlDb
+    (tools/FreeGenerator.java: normalize with the inject scope, filter,
+    injectedScore hook, dedup by URL, then the standard fetchlist
+    partition/sort layout). Useful for one-off fetches of a hand-made
+    list."""
+    from ..functions.urls import host_of, url_hash_col, with_normalized
+
+    df = urls.select("url")
+    if normalize:
+        df = (
+            with_normalized(df.withColumnRenamed("url", "_raw"), "_raw", "url")
+            .drop("_raw")
+            .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+        )
+    if apply_filters:
+        df = df.filter(accept_urls(F.col("url")))
+    df = df.dropDuplicates(["url"])
+    out = df.select(
+        "url",
+        url_hash_col(F.col("url")).alias("url_hash"),
+        host_of(F.col("url")).alias("host"),
+        F.lit(1).alias("status"),  # db_unfetched
+        F.lit(cur_time_ms).alias("fetch_time"),
+        F.lit(0).alias("retries"),
+        F.lit(Defaults.FETCH_INTERVAL).alias("fetch_interval"),
+        hooks.injected_score(
+            F.lit(float(Defaults.SCORE_INJECTED))
+        ).cast("float").alias("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.lit(segment).alias("segment"),
+    )
+    nparts = num_fetch_partitions or out.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    salt = F.xxhash64(F.col("host"), F.lit(segment))
+    return (
+        out.repartition(int(nparts), salt)
+        .sortWithinPartitions("host", "url_hash")
+    )
+
+
 def mark_generated(frontier: DataFrame, fetchlist: DataFrame, cur_time_ms: int) -> DataFrame:
     """generate.update.crawldb write-back (Generator.java:434-476):
     set the _ngt_ metadata marker on generated rows."""

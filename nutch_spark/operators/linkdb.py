@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..constants import Defaults, STATUS_NAMES
+from ..constants import (
+    Defaults,
+    STATUS_DB_FETCHED,
+    STATUS_DB_NOTMODIFIED,
+    STATUS_NAMES,
+)
 from ..functions.urls import host_of
 
 
@@ -94,6 +99,93 @@ def hostdb(frontier: DataFrame) -> DataFrame:
                 F.sum(F.when(status_name == code, 1).otherwise(0)).alias(f"n_{name}")
             )
     return frontier.groupBy("host").agg(*agg)
+
+
+def update_hostdb(
+    frontier: DataFrame,
+    prev_hostdb: DataFrame | None = None,
+    cur_time_ms: int = 0,
+    dns_failed_hosts: DataFrame | None = None,
+    purge_failed_hosts_threshold: int = -1,
+) -> DataFrame:
+    """Full UpdateHostDb: per-host status counts + score stats PLUS the
+    HostDatum failure/homepage/last-check fields
+    (hostdb/HostDatum.java:34-193; UpdateHostDbReducer.java:62-337;
+    ResolverThread.java:60-100):
+
+      * connection_failures — count of datums with retries-since-fetch
+        != 0 (UpdateHostDbReducer.java:211-213);
+      * homepage_url — the root URL `scheme://host/` when that row is
+        fetched/notmodified (UpdateHostDbMapper.java:153-189's proposed
+        homepage, minus live redirect resolution);
+      * dns_failures — carried from the previous hostdb and updated by
+        the resolver outcome: resolvable ⇒ reset to 0 (rediscovered),
+        unresolvable ⇒ previous + 1 (ResolverThread.run). DNS itself is
+        an external effect, so the resolver verdict arrives as the
+        `dns_failed_hosts` DataFrame (host column) — at scale this is
+        produced by a mapInPandas resolver stage over distinct hosts;
+      * last_check — set on every checked host (setLastCheck);
+      * purge — hosts whose dns_failures exceed the threshold are
+        dropped (db.hostdb.purge.failed.hosts.threshold; NOTE the
+        reference's keep-condition at ResolverThread.java:86-92 is
+        inverted relative to its own documentation — we implement the
+        documented semantics: keep while failures <= threshold).
+
+    One groupBy(host) over the frontier + two small left joins
+    (prev hostdb, resolver verdicts) — both broadcast-able; at 10^10
+    scale the frontier aggregate is the only shuffle."""
+    http_root = F.concat(F.lit("http://"), F.col("host"), F.lit("/"))
+    https_root = F.concat(F.lit("https://"), F.col("host"), F.lit("/"))
+    agg = hostdb(frontier).join(
+        frontier.groupBy("host").agg(
+            F.sum(F.when(F.col("retries") != 0, 1).otherwise(0)).alias(
+                "connection_failures"
+            ),
+            F.max(
+                F.when(
+                    ((F.col("url") == http_root) | (F.col("url") == https_root))
+                    & F.col("status").isin(
+                        STATUS_DB_FETCHED, STATUS_DB_NOTMODIFIED
+                    ),
+                    F.col("url"),
+                )
+            ).alias("homepage_url"),
+        ),
+        "host",
+    )
+    prev = (
+        prev_hostdb.select(
+            "host", F.col("dns_failures").alias("_prev_dns")
+        )
+        if prev_hostdb is not None
+        else None
+    )
+    failed = (
+        dns_failed_hosts.select("host").distinct().withColumn(
+            "_dns_failed", F.lit(True)
+        )
+        if dns_failed_hosts is not None
+        else None
+    )
+    j = agg
+    j = j.join(prev, "host", "left") if prev is not None else j.withColumn(
+        "_prev_dns", F.lit(None).cast("int")
+    )
+    j = j.join(failed, "host", "left") if failed is not None else j.withColumn(
+        "_dns_failed", F.lit(None).cast("boolean")
+    )
+    dns = F.when(
+        F.coalesce(F.col("_dns_failed"), F.lit(False)),
+        F.coalesce(F.col("_prev_dns"), F.lit(0)) + 1,
+    ).otherwise(F.lit(0))
+    out = j.withColumn("dns_failures", dns.cast("int")).withColumn(
+        "last_check", F.lit(cur_time_ms).cast("long")
+    ).drop("_prev_dns", "_dns_failed")
+    if purge_failed_hosts_threshold != -1:
+        out = out.filter(
+            F.col("dns_failures") <= purge_failed_hosts_threshold
+        )
+    return out
 
 
 def node_degrees(parse_data: DataFrame, linkdb: DataFrame) -> DataFrame:

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..constants import (
     Defaults,
+    META_REPR_URL,
     STATUS_FETCH_REDIR_PERM,
     STATUS_FETCH_REDIR_TEMP,
     STATUS_FETCH_SUCCESS,
@@ -52,6 +53,7 @@ from ..constants import (
 from ..functions.scoring import OPIC, ScoringHooks
 from ..functions.urls import (
     accept_urls,
+    choose_repr_pd,
     domain_col,
     host_of,
     is_canonical,
@@ -394,14 +396,32 @@ def crawl_parse_from(
         F.lit(None).cast("map<string,string>").alias("metadata"),
         F.col("fetch_time").cast("long").alias("fetch_time"),
     )
-    redirs = with_normalized(
+    # repr-URL choice (URLUtil.chooseRepr via FetcherThread.java:463 /
+    # ParseOutputFormat's redirect datum): when the representative URL
+    # differs from the redirect target, it rides in the linked datum's
+    # metadata under META_REPR_URL and updatedb carries it into the db
+    # row. Redirects are rare, so the pandas chooser stays off the hot
+    # path.
+    redir_rows = with_normalized(
         fetch_results.filter(
             F.col("status").isin(STATUS_FETCH_REDIR_TEMP, STATUS_FETCH_REDIR_PERM)
             & F.col("redirect_to").isNotNull()
-        ).select("url", "redirect_to"),
+        ).select("url", "redirect_to", "status"),
         "redirect_to",
         "redir_norm",
-    ).select(
+    ).withColumn(
+        "repr_url",
+        choose_repr_pd(
+            F.col("url"),
+            F.col("redir_norm"),
+            F.col("status") == STATUS_FETCH_REDIR_TEMP,
+        ),
+    )
+    repr_meta = F.when(
+        F.col("repr_url").isNotNull() & (F.col("repr_url") != F.col("redir_norm")),
+        F.create_map(F.lit(META_REPR_URL), F.col("repr_url")),
+    ).otherwise(F.lit(None).cast("map<string,string>"))
+    redirs = redir_rows.select(
         F.col("redir_norm").alias("target"),
         F.lit(STATUS_LINKED).alias("status"),
         F.lit(0.0).cast("float").alias("score"),
@@ -409,7 +429,7 @@ def crawl_parse_from(
         F.lit(None).cast("string").alias("signature"),
         F.lit(None).cast("string").alias("anchor"),
         F.col("url").alias("from_url"),
-        F.lit(None).cast("map<string,string>").alias("metadata"),
+        repr_meta.alias("metadata"),
         F.lit(None).cast("long").alias("fetch_time"),
     ).filter(
         F.col("target").isNotNull() & accept_urls(F.col("target"))

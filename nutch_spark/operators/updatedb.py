@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from ..constants import (
     Defaults,
     META_GENERATE_TIME,
+    META_REPR_URL,
     STATUS_DB_GONE,
     STATUS_DB_NOTMODIFIED,
     STATUS_DB_REDIR_PERM,
@@ -167,6 +168,16 @@ def updatedb(
         agg0 = lk.groupBy("url").agg(
             F.sum("score").alias("_sum_all"),
             F.count("*").alias("link_count"),
+            # repr-URL carried on redirect-linked datums
+            # (URLUtil.chooseRepr; CrawlDbReducer keeps the repr from
+            # the link datum's metadata) — max picks deterministically
+            # if several links carry one
+            F.max(
+                F.element_at(
+                    F.coalesce(F.col("metadata"), _empty_meta()),
+                    META_REPR_URL,
+                )
+            ).alias("link_repr"),
         )
         hot = agg0.filter(F.col("link_count") > max_inlinks).select("url")
         wl = Window.partitionBy("url").orderBy(
@@ -188,6 +199,7 @@ def updatedb(
                 .alias("link_adjust"),
                 F.least(F.col("link_count"), F.lit(max_inlinks).cast("long"))
                 .alias("link_count"),
+                "link_repr",
             )
         )
         sigs = (
@@ -205,7 +217,7 @@ def updatedb(
     else:
         j = j.withColumn("link_adjust", F.lit(None).cast("float")).withColumn(
             "link_count", F.lit(None).cast("long")
-        )
+        ).withColumn("link_repr", F.lit(None).cast("string"))
     if sigs is not None:
         j = j.join(sigs, "url", "left_outer")
     else:
@@ -381,8 +393,24 @@ def updatedb(
         F.lit(0),
         seed_modified,
     )
+    # linked rows carry the repr-URL (if any link datum brought one)
+    repr_entry = F.when(
+        F.col("link_repr").isNotNull(),
+        F.create_map(F.lit(META_REPR_URL), F.col("link_repr")),
+    ).otherwise(_empty_meta())
+    # only overwrite an existing repr when a link datum brought a new one
+    linked_old_meta = F.when(
+        F.col("link_repr").isNotNull(),
+        F.map_concat(
+            F.map_filter(
+                F.coalesce(F.col("o.metadata"), _empty_meta()),
+                lambda k, _v: k != META_REPR_URL,
+            ),
+            repr_entry,
+        ),
+    ).otherwise(F.coalesce(F.col("o.metadata"), _empty_meta()))
     out_meta = branch(
-        seed_meta, seed_meta, seed_meta, F.coalesce(F.col("o.metadata"), _empty_meta()), _empty_meta(), seed_meta
+        seed_meta, seed_meta, seed_meta, linked_old_meta, repr_entry, seed_meta
     )
 
     # ScoringFilter.updateDbScore / initialScore hook points

@@ -302,3 +302,158 @@ def test_seen_partitioned_probe_matches_broadcast(spark):
     # definitely-new guarantee still holds through the partitioned path
     exact = {r.url for r in unseen_exact(novel, fr).collect()}
     assert {u for u, s in par.items() if not s} <= exact
+
+
+def test_update_hostdb_failures_homepage_lastcheck(spark):
+    """HostDatum fields: connection failures (retries != 0), homepage
+    = fetched root URL, dns carry/reset, last_check, purge
+    (HostDatum.java:34-193, ResolverThread.java:60-100)."""
+    from pyspark.sql import Row
+
+    from nutch_spark.operators.linkdb import update_hostdb
+    from nutch_spark.schema import FRONTIER
+
+    def fr_row(url, host, status=2, retries=0):
+        return Row(url=url, url_hash=hash(url), host=host, status=status,
+                   fetch_time=1, retries=retries, fetch_interval=2592000,
+                   score=1.0, signature=None, modified_time=0, metadata=None)
+
+    fr = spark.createDataFrame(
+        [
+            fr_row("http://a.com/", "a.com"),            # fetched root
+            fr_row("http://a.com/x", "a.com", retries=2),
+            fr_row("http://b.com/", "b.com", status=1),  # unfetched root
+            fr_row("http://b.com/y", "b.com"),
+            fr_row("http://c.com/z", "c.com"),
+        ],
+        FRONTIER,
+    )
+    prev = spark.createDataFrame([("b.com", 3), ("c.com", 1)],
+                                 ["host", "dns_failures"])
+    failed = spark.createDataFrame([("b.com",), ("a.com",)], ["host"])
+    out = {r.host: r for r in update_hostdb(
+        fr, prev_hostdb=prev, cur_time_ms=999, dns_failed_hosts=failed
+    ).collect()}
+    assert out["a.com"].homepage_url == "http://a.com/"
+    assert out["b.com"].homepage_url is None  # root unfetched
+    assert out["a.com"].connection_failures == 1
+    assert out["a.com"].dns_failures == 1      # failed, no prev → 0+1
+    assert out["b.com"].dns_failures == 4      # failed, prev 3 → 4
+    assert out["c.com"].dns_failures == 0      # resolvable → reset
+    assert all(r.last_check == 999 for r in out.values())
+    purged = {r.host for r in update_hostdb(
+        fr, prev_hostdb=prev, cur_time_ms=999, dns_failed_hosts=failed,
+        purge_failed_hosts_threshold=2,
+    ).collect()}
+    assert purged == {"a.com", "c.com"}  # b.com at 4 failures > 2 purged
+
+
+def test_segment_stats_and_dump(spark):
+    from pyspark.sql import Row
+
+    from nutch_spark.operators.segment import segment_dump, segment_get, segment_stats
+
+    fl = spark.createDataFrame(
+        [Row(url=f"http://h/{i}", segment="s1") for i in range(4)]
+        + [Row(url="http://h/9", segment="s2")]
+    )
+    fr = spark.createDataFrame(
+        [Row(url=f"http://h/{i}", segment="s1", fetch_time=100 + i, status=33)
+         for i in range(3)]
+    )
+    pd_ = spark.createDataFrame(
+        [Row(url="http://h/0", segment="s1", text="t")]
+    )
+    stats = {r.segment: r for r in segment_stats(fl, fr, pd_).collect()}
+    s1 = stats["s1"]
+    assert (s1.generated, s1.fetched, s1.parsed) == (4, 3, 1)
+    assert (s1.fetch_start, s1.fetch_end) == (100, 102)
+    s2 = stats["s2"]
+    assert (s2.generated, s2.fetched, s2.parsed) == (1, -1, -1)
+
+    dump = segment_dump(fetchlist=fl, fetch_results=fr, parse_data=pd_)
+    assert dump.count() == 5 + 3 + 1
+    got = segment_get("http://h/0", fetchlist=fl, fetch_results=fr,
+                      parse_data=pd_)
+    parts = {r.part for r in got.collect()}
+    assert parts == {"crawl_generate", "crawl_fetch", "parse_data"}
+
+
+def test_choose_repr_golden():
+    """URLUtil.chooseRepr truth table (util/URLUtil.java:325-417)."""
+    from nutch_spark.functions.urls import choose_repr
+
+    # 1) cross-domain → dst, temp or perm
+    assert choose_repr("http://a.com/", "http://b.com/x", False) == "http://b.com/x"
+    assert choose_repr("http://a.com/", "http://b.com/x", True) == "http://b.com/x"
+    # 2) perm + src root → src
+    assert choose_repr("http://a.com/", "http://a.com/xyz/index.html", False) == "http://a.com/"
+    # 3/4) perm + src not root → dst
+    assert choose_repr("http://a.com/xyz/index.html", "http://a.com/", False) == "http://a.com/"
+    assert choose_repr("http://a.com/x/i.html", "http://a.com/a/p.html", False) == "http://a.com/a/p.html"
+    # 5) temp + src root, dst not → src
+    assert choose_repr("http://a.com/", "http://a.com/xyz/index.html", True) == "http://a.com/"
+    # 7) temp + dst root, src not → dst
+    assert choose_repr("http://a.com/xyz/index.html", "http://a.com/", True) == "http://a.com/"
+    # 8) temp + neither root, same host → shorter path
+    assert choose_repr("http://a.com/xyz/deep/i.html", "http://a.com/p.html", True) == "http://a.com/p.html"
+    assert choose_repr("http://a.com/aa.html", "http://a.com/bbbb.html", True) == "http://a.com/aa.html"
+    # 9) temp + different hosts → shorter subdomain chain
+    assert choose_repr("http://www.news.a.com/x/i.html", "http://www.a.com/x/i.html", True) == "http://www.a.com/x/i.html"
+    # malformed → dst
+    assert choose_repr("nota url", "http://a.com/", True) == "http://a.com/"
+
+
+def test_redirect_repr_flows_to_frontier(spark):
+    """A permanent redirect from a non-root page keeps the destination;
+    a temp redirect from the root carries the ROOT as repr-URL into
+    the new frontier row's metadata."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.constants import (
+        META_REPR_URL,
+        STATUS_FETCH_REDIR_TEMP,
+    )
+    from nutch_spark.operators.parse import parse
+    from nutch_spark.operators.updatedb import updatedb
+    from nutch_spark.schema import FETCH_RESULTS
+    from tests.test_parse import fetch_result_row
+
+    row = fetch_result_row(
+        "http://h.example.com/", [], status=STATUS_FETCH_REDIR_TEMP,
+        redirect_to="http://h.example.com/landing/page",
+    )
+    df = spark.createDataFrame([row], FETCH_RESULTS)
+    _, cp = parse(df)
+    linked = cp.filter(F.col("from_url").isNotNull()).collect()[0]
+    assert linked.url == "http://h.example.com/landing/page"
+    assert linked.metadata[META_REPR_URL] == "http://h.example.com/"
+    fr = updatedb(spark, None, df, cp, 1_700_000_000_000)
+    new_row = {r.url: r for r in fr.collect()}[
+        "http://h.example.com/landing/page"
+    ]
+    assert new_row.metadata[META_REPR_URL] == "http://h.example.com/"
+
+
+def test_free_generate(spark):
+    from pyspark.sql import Row
+
+    from nutch_spark.operators.generate import free_generate
+
+    urls = spark.createDataFrame(
+        [Row(url=u) for u in [
+            "http://a.example.com/x",
+            "HTTP://A.example.com/x",      # normalizes to dup → dedup
+            "http://b.example.com/img.gif",  # filtered
+            "mailto:x@y.com",                # filtered
+            "http://c.example.com/ok",
+        ]]
+    )
+    out = free_generate(urls, "seg1", 1_700_000_000_000)
+    got = sorted(r.url for r in out.collect())
+    assert got == [
+        "http://a.example.com/x",
+        "http://c.example.com/ok",
+    ]
+    r0 = out.collect()[0]
+    assert r0.segment == "seg1" and r0.status == 1
