@@ -1393,6 +1393,69 @@ LEFT JOIN prev p ON g.host = p.host
 """
 
 
+def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC export over span-bearing fetch results: record id, date,
+    content length, and the full record hashed via its components
+    (WARCExporter.java record layout, deterministic record ids)."""
+    from .sources.warc import warc_records
+
+    _views(spark, sf_dir, ["orders"])
+    fr = spark.sql(PARSE_FETCH_SQL).withColumn("segment", F.lit("seg"))
+    return warc_records(fr).select(
+        "url",
+        F.col("content_length").cast("long").alias("content_length"),
+        "warc_date",
+        "record_id",
+    )
+
+
+# payload = Spark to_json(struct(url, spans)): fields in struct order,
+# no whitespace, null fields omitted — reconstructed literally from the
+# same derivation expressions.
+def _warc_payload_sql() -> str:
+    u = _url("o_orderkey")
+    u11 = _url("o_orderkey * 11 + 1")
+    u13 = _url("o_orderkey * 13 + 2")
+    k = "cast(o_orderkey as string)"
+    text_span = (
+        f"concat('{{\"kind\":\"text\",\"text\":\"page ', {k}, "
+        f"' href:', {u11}, '\",\"offset\":0}}')"
+    )
+    sub1 = (
+        f"concat('{{\"kind\":\"subdoc\",\"text\":\"item one of ', {k}, "
+        f"' href:', {u13}, '\",\"media_ref\":\"', {u}, "
+        f"'!/sub1\",\"offset\":1}}')"
+    )
+    sub2 = (
+        f"concat('{{\"kind\":\"subdoc\",\"text\":\"item two of ', {k}, "
+        f"'\",\"media_ref\":\"', {u}, '!/sub2\",\"offset\":2}}')"
+    )
+    return (
+        f"concat('{{\"url\":\"', {u}, '\",\"spans\":[', {text_span}, "
+        f"case when o_orderkey % 4 = 0 "
+        f"then concat(',', {sub1}, ',', {sub2}) else '' end, ']}}')"
+    )
+
+
+ORACLE_WARC_EXPORT = f"""
+WITH rec AS (
+  SELECT {_url('o_orderkey')} AS url,
+         {_warc_payload_sql()} AS payload,
+         md5(concat({_url('o_orderkey')}, '|',
+                    cast(cast({CUR_MS} as bigint) as string))) AS h
+  FROM orders
+)
+SELECT url,
+  cast(octet_length(encode(payload)) as bigint) AS content_length,
+  strftime(to_timestamp({CUR_MS} / 1000), '%Y-%m-%dT%H:%M:%SZ')
+    AS warc_date,
+  concat('<urn:uuid:', substr(h, 1, 8), '-', substr(h, 9, 4), '-',
+         substr(h, 13, 4), '-', substr(h, 17, 4), '-',
+         substr(h, 21, 12), '>') AS record_id
+FROM rec
+"""
+
+
 def q_url_normalize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the REAL RegexNormalizer (regex-normalize.xml rule table)
     end-to-end over URLs carrying session ids, '&&' runs, and trailing
@@ -1475,15 +1538,53 @@ WHERE o_orderkey % 5 <> 4
 
 
 def q_linkrank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LinkRank scores (rows-only: iterative double sums are reduction-
-    order dependent, so no cross-engine value hash; convergence and
-    formula are pytest-covered)."""
-    from .operators.linkdb import linkrank
+    """Fixed-point LinkRank (bigint micro-units, exact integer sums +
+    floor divisions) — reduction-order independent, so it carries a
+    FULL value-hash oracle; the double-precision `linkrank` variant
+    remains pytest-covered for formula/convergence."""
+    from .operators.linkdb import linkrank_quantized
 
     edges = links_df(spark, sf_dir).select("from_url", "to_url")
-    return linkrank(edges, iterations=5).select(
-        "url", F.col("score").cast("double").alias("score")
+    return linkrank_quantized(edges, iterations=5).select(
+        "url", F.col("score_units").cast("long").alias("score_units")
     )
+
+
+def _linkrank_oracle(iterations: int = 5, scale: int = 1_000_000,
+                     damping_pct: int = 85) -> str:
+    """Unrolled fixed-point LinkRank as chained CTE layers — one
+    (contrib, scores) pair per iteration, exact integer arithmetic."""
+    base = (100 - damping_pct) * scale // 100
+    ctes = [
+        f"e0 AS (SELECT from_url, to_url FROM ({LINKS_SQL}) l)",
+        "nodes AS (SELECT DISTINCT url FROM (SELECT from_url AS url "
+        "FROM e0 UNION ALL SELECT to_url AS url FROM e0) nn)",
+        "deg AS (SELECT from_url, count(*) AS out_degree FROM e0 "
+        "GROUP BY from_url)",
+        "ed AS (SELECT e0.from_url, e0.to_url, deg.out_degree FROM e0 "
+        "JOIN deg ON e0.from_url = deg.from_url)",
+        f"s0 AS (SELECT url, cast({scale} as bigint) AS u FROM nodes)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"c{i+1} AS (SELECT ed.to_url AS url, "
+            f"sum(cast(floor(s{i}.u / ed.out_degree) as bigint)) AS insum "
+            f"FROM ed JOIN s{i} ON ed.from_url = s{i}.url "
+            f"GROUP BY ed.to_url)"
+        )
+        ctes.append(
+            f"s{i+1} AS (SELECT n.url, cast({base} + "
+            f"floor({damping_pct} * coalesce(c{i+1}.insum, 0) / 100) "
+            f"as bigint) AS u FROM nodes n "
+            f"LEFT JOIN c{i+1} ON n.url = c{i+1}.url)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT url, u AS score_units FROM s{iterations}"
+    )
+
+
+ORACLE_LINKRANK = _linkrank_oracle()
 
 
 # ---------------------------------------------------------------------
@@ -1512,9 +1613,10 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "parse_canonical": (q_parse_canonical, ORACLE_PARSE_CANONICAL),
     "url_normalize_regex": (q_url_normalize_regex, ORACLE_URL_NORMALIZE_REGEX),
     "hostdb_update": (q_hostdb_update, ORACLE_HOSTDB_UPDATE),
+    "warc_export": (q_warc_export, ORACLE_WARC_EXPORT),
     "urlfilter_chain": (q_urlfilter_chain, ORACLE_URLFILTER_CHAIN),
     "bloom_unseen": (q_bloom_unseen, None),
-    "linkrank": (q_linkrank, None),
+    "linkrank": (q_linkrank, ORACLE_LINKRANK),
     "updatedb_adaptive": (q_updatedb_adaptive, ORACLE_UPDATEDB_ADAPTIVE),
     "updatedb_mime_adaptive": (q_updatedb_mime_adaptive, ORACLE_UPDATEDB_MIME_ADAPTIVE),
 }

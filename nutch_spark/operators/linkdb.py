@@ -204,6 +204,62 @@ def node_degrees(parse_data: DataFrame, linkdb: DataFrame) -> DataFrame:
     )
 
 
+def linkrank_quantized(
+    edges: DataFrame,
+    damping_pct: int = 85,
+    iterations: int = 5,
+    scale: int = 1_000_000,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """LinkRank in FIXED-POINT integer arithmetic: scores are bigint
+    micro-units (×10^6) and every per-iteration op is an exact integer
+    sum plus floor divisions — so the result is reduction-order
+    independent and bit-identical across engines/parallelism (the
+    double-sum variant below is order-sensitive, which is why it could
+    only ever be rows-only checked). Quantization error is ≤ 1 unit
+    (1e-6) per edge per iteration — negligible against d=0.85 damping.
+
+      u₀ = scale;  uₖ₊₁ = (100−d%)·scale/100 + floor(d% · Σ floor(uₖ/outdeg) / 100)
+
+    Same plan shape as `linkrank`: one groupBy + one join per
+    iteration over a cached degree table, lineage cut every few
+    rounds."""
+    nodes = (
+        edges.select(F.col("from_url").alias("url"))
+        .union(edges.select(F.col("to_url").alias("url")))
+        .distinct()
+    )
+    out_deg = edges.groupBy("from_url").agg(F.count("*").alias("out_degree"))
+    edges_deg = edges.join(out_deg, "from_url").persist()
+    base = (100 - damping_pct) * scale // 100
+    units = nodes.withColumn("u", F.lit(scale).cast("long"))
+    for i in range(iterations):
+        contrib = (
+            edges_deg.join(units, edges_deg.from_url == units.url)
+            .select(
+                F.col("to_url").alias("url"),
+                F.floor(F.col("u") / F.col("out_degree")).cast("long").alias("c"),
+            )
+            .groupBy("url")
+            .agg(F.sum("c").alias("insum"))
+        )
+        units = nodes.join(contrib, "url", "left").select(
+            "url",
+            (
+                F.lit(base)
+                + F.floor(
+                    F.lit(damping_pct)
+                    * F.coalesce(F.col("insum"), F.lit(0))
+                    / F.lit(100)
+                )
+            ).cast("long").alias("u"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            units = units.localCheckpoint(eager=True)
+    edges_deg.unpersist()
+    return units.select("url", F.col("u").alias("score_units"))
+
+
 def linkrank(
     edges: DataFrame,
     damping: float = 0.85,

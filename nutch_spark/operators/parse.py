@@ -171,7 +171,31 @@ def parse_pages(
 _EMPTY_SPANS = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
 
 
-def extract_pages(fetch_results: DataFrame) -> DataFrame:
+def is_truncated_col() -> Column:
+    """Truncation check (ParseSegment.isTruncated,
+    ParseSegment.java:159-192): the Content-Length header claims more
+    bytes than the stored content actually has. Our content model is
+    the span array, so the actual size is the byte length of all span
+    text + media refs; a missing/empty/non-numeric header means not
+    truncated (the reference's early returns)."""
+    declared = F.element_at(
+        F.coalesce(F.col("metadata"), F.create_map().cast("map<string,string>")),
+        "Content-Length",
+    )
+    declared_n = F.trim(declared).try_cast("long")  # non-numeric → NULL (ANSI-safe)
+    actual = F.aggregate(
+        F.coalesce(F.col("spans"), F.array().cast(_EMPTY_SPANS)),
+        F.lit(0).cast("long"),
+        lambda acc, sp: acc
+        + F.coalesce(F.octet_length(sp["text"]), F.lit(0))
+        + F.coalesce(F.octet_length(sp["media_ref"]), F.lit(0)),
+    )
+    return declared_n.isNotNull() & (declared_n > actual)
+
+
+def extract_pages(
+    fetch_results: DataFrame, skip_truncated: bool = False
+) -> DataFrame:
     """The expensive single-pass extraction projection: span text,
     signature, ordered raw outlinks. Evaluates each span chain once.
 
@@ -184,6 +208,9 @@ def extract_pages(fetch_results: DataFrame) -> DataFrame:
     The canonical page row carries the input span array through
     UNTOUCHED (span-sequence invariant); sub-entries carry no spans."""
     ok = fetch_results.filter(F.col("status") == STATUS_FETCH_SUCCESS)
+    if skip_truncated:
+        # parser.skip.truncated (ParseSegment.java:112-116)
+        ok = ok.filter(~is_truncated_col())
     pages = ok.select(
         "url",
         "host",

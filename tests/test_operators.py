@@ -457,3 +457,26 @@ def test_free_generate(spark):
     ]
     r0 = out.collect()[0]
     assert r0.segment == "seg1" and r0.status == 1
+
+
+def test_linkrank_quantized_tracks_double(spark):
+    """Fixed-point LinkRank (bigint micro-units) agrees with the
+    double-precision variant to quantization error and is exactly
+    reproducible across partitioning."""
+    from pyspark.sql import Row
+
+    from nutch_spark.operators.linkdb import linkrank, linkrank_quantized
+
+    edges = spark.createDataFrame(
+        [Row(from_url=f"u{i}", to_url=f"u{(i * 7 + 1) % 40}")
+         for i in range(200)]
+    )
+    d = {r.url: r.score for r in linkrank(edges, iterations=5).collect()}
+    q = {r.url: r.score_units for r in
+         linkrank_quantized(edges, iterations=5).collect()}
+    assert set(d) == set(q)
+    for u in d:
+        assert abs(d[u] - q[u] / 1e6) < 1e-3, u
+    q2 = {r.url: r.score_units for r in
+          linkrank_quantized(edges.repartition(13), iterations=5).collect()}
+    assert q == q2  # bit-identical under different partitioning

@@ -322,3 +322,28 @@ def test_canonical_datum_flows_into_updatedb(spark):
     assert sub.fetch_interval == Defaults.FETCH_INTERVAL  # 0 → default
     parent = got["http://h.example.com/p"]
     assert parent.status == STATUS_DB_FETCHED
+
+
+def test_skip_truncated(spark):
+    """ParseSegment.isTruncated (ParseSegment.java:159-192): pages
+    whose Content-Length header exceeds the stored content size are
+    skipped when parser.skip.truncated is on."""
+    from nutch_spark.operators.parse import extract_pages
+
+    spans = spans_of(("text", "tiny"))
+    ok = fetch_result_row("http://h.example.com/full", spans)
+    trunc = Row(**{**ok.asDict(), "url": "http://h.example.com/cut",
+                   "metadata": {"Content-Length": "9999"}})
+    declared_ok = Row(**{**ok.asDict(), "url": "http://h.example.com/hdr",
+                         "metadata": {"Content-Length": "4"}})
+    bad_hdr = Row(**{**ok.asDict(), "url": "http://h.example.com/bad",
+                     "metadata": {"Content-Length": "xx"}})
+    df = spark.createDataFrame([ok, trunc, declared_ok, bad_hdr], FETCH_RESULTS)
+    kept_default = {r.url for r in extract_pages(df).collect()}
+    assert len(kept_default) == 4  # off by default
+    kept = {r.url for r in extract_pages(df, skip_truncated=True).collect()}
+    assert kept == {
+        "http://h.example.com/full",
+        "http://h.example.com/hdr",
+        "http://h.example.com/bad",
+    }

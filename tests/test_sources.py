@@ -97,3 +97,41 @@ def test_text_profile_signature_semantics(spark):
     assert out[0].signature != out[2].signature
     # tokens ≤ 2 chars (x, y, z, q) dropped
     assert " x " not in out[0].profile
+
+
+def test_warc_records_and_dump(spark, tmp_path):
+    """WARC export: record layout, deterministic ids, text sink, and
+    the CommonCrawl JSON dump (tools/warc/WARCExporter.java,
+    tools/CommonCrawlDataDumper.java)."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.schema import FETCH_RESULTS
+    from nutch_spark.sources.warc import (
+        commoncrawl_dump,
+        warc_records,
+        write_warc,
+    )
+    from tests.test_parse import fetch_result_row, spans_of
+
+    spans = spans_of(("text", "hello world"))
+    df = spark.createDataFrame(
+        [fetch_result_row("http://h.example.com/p", spans)], FETCH_RESULTS
+    )
+    rec = warc_records(df).collect()[0]
+    assert rec.record.startswith("WARC/1.0\r\n")
+    assert f"WARC-Target-URI: http://h.example.com/p" in rec.record
+    assert rec.record_id.startswith("<urn:uuid:") and rec.record_id.endswith(">")
+    assert f"Content-Length: {rec.content_length}" in rec.record
+    assert rec.warc_date.endswith("Z") and "T" in rec.warc_date
+    # deterministic: same input → same record id
+    rec2 = warc_records(df).collect()[0]
+    assert rec.record_id == rec2.record_id
+
+    write_warc(df, str(tmp_path / "warc"))
+    text = "\n".join(
+        r.value for r in spark.read.text(str(tmp_path / "warc")).collect()
+    )
+    assert "WARC-Target-URI: http://h.example.com/p" in text
+
+    cc = commoncrawl_dump(df).collect()[0]
+    assert '"url":"http://h.example.com/p"' in cc.json
