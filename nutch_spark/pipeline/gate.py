@@ -387,6 +387,69 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(spark.table("embeddings"), k=5, n_pivots=16)
 
 
+def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with ONE deterministic Lloyd round (floor(avg) integer
+    centroids) and TWO query probes — the trained/multi-probe scale
+    path; exact-SQL-expressible because centroid math is order-
+    independent integer arithmetic."""
+    from .similarity import knn_ivf
+
+    _views(spark, sf_dir, ["embeddings"])
+    return knn_ivf(
+        spark.table("embeddings"), k=5, n_pivots=16,
+        n_probes=2, kmeans_iterations=1,
+    )
+
+
+# one unrolled k-means round over the quantized vectors (dim = 64),
+# then corpus top-1 / query top-2 assignment against the new pivots
+ORACLE_KNN_IVF_KMEANS = f"""
+WITH {_Q_CTE},
+piv0 AS (SELECT vec_id AS p, v AS pv, nn AS pn FROM n WHERE vec_id < 16),
+ps0 AS (
+  SELECT n.vec_id, n.v, n.nn, piv0.p,
+         list_dot_product(n.v, piv0.pv) / (sqrt(n.nn) * sqrt(piv0.pn)) AS psim
+  FROM n, piv0),
+asg0 AS (
+  SELECT vec_id, v, p AS cluster FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY psim DESC, p ASC) AS r
+    FROM ps0) t WHERE r = 1),
+cent AS (
+  SELECT cluster AS p, i AS dim,
+         cast(floor(avg(v[i])) as bigint) AS c
+  FROM asg0, range(1, 65) t(i) GROUP BY cluster, i),
+newpv AS (SELECT p, list(c ORDER BY dim) AS cv FROM cent GROUP BY p),
+piv1 AS (
+  SELECT piv0.p, coalesce(newpv.cv, piv0.pv) AS pv,
+         cast(list_sum(list_transform(coalesce(newpv.cv, piv0.pv),
+                                      y -> y * y)) as double) AS pn
+  FROM piv0 LEFT JOIN newpv ON piv0.p = newpv.p),
+ps1 AS (
+  SELECT n.vec_id, n.v, n.nn, piv1.p,
+         list_dot_product(n.v, piv1.pv) / (sqrt(n.nn) * sqrt(piv1.pn)) AS psim
+  FROM n, piv1),
+ranked AS (
+  SELECT vec_id, v, nn, p, row_number() OVER (
+    PARTITION BY vec_id ORDER BY psim DESC, p ASC) AS r
+  FROM ps1),
+corpus AS (SELECT vec_id, v, nn, p AS cluster FROM ranked WHERE r = 1),
+probes AS (SELECT vec_id, v, nn, p AS cluster FROM ranked WHERE r <= 2),
+pp AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
+         list_dot_product(a.v, b.v) / (sqrt(a.nn) * sqrt(b.nn)) AS sim
+  FROM probes a JOIN corpus b
+    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+r AS (SELECT a, b, sim,
+             row_number() OVER (PARTITION BY a ORDER BY sim DESC, b ASC)
+               AS rank
+      FROM pp)
+SELECT cast(a as bigint) AS vec_id, cast(b as bigint) AS neighbor_id,
+       sim, cast(rank as bigint) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 ORACLE_KNN_IVF = f"""
 WITH {_Q_CTE},
 piv AS (SELECT vec_id AS p, v AS pv, nn AS pn FROM n WHERE vec_id < 16),
@@ -524,6 +587,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "text_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
     "knn_cosine": (q_knn_cosine, ORACLE_KNN_COSINE),
     "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),
+    "knn_ivf_kmeans": (q_knn_ivf_kmeans, ORACLE_KNN_IVF_KMEANS),
     "media_decode": (q_media_decode, ORACLE_MEDIA_DECODE),
     "media_frame_sample": (q_frame_sample, ORACLE_FRAME_SAMPLE),
     "events_rollup": (q_events_rollup, ORACLE_EVENTS_ROLLUP),

@@ -269,15 +269,137 @@ def ivf_assign(
     )
 
 
+def kmeans_pivots(
+    emb: DataFrame,
+    n_pivots: int = 16,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over the QUANTIZED vectors: init =
+    the `n_pivots` lowest-id vectors, assign by max cosine (ties →
+    lowest pivot id), centroid = per-dimension floor(avg) — exact
+    integer sums make the floor reduction-order independent, so the
+    trained pivots are bit-identical at any parallelism (and SQL-
+    expressible for the gate). Empty clusters keep their previous
+    centroid. One crossJoin(broadcast pivots) + one posexplode
+    aggregate per iteration."""
+    q = _prep(emb, id_col, vec_col)
+    piv = q.filter(F.col("id") < n_pivots).select(
+        F.col("id").alias("p"), F.col("v").alias("pv"), F.col("nn").alias("pn")
+    )
+    for _ in range(iterations):
+        sims = q.crossJoin(F.broadcast(piv)).select(
+            "id",
+            "v",
+            "p",
+            _cosine(
+                _dot(F.col("v"), F.col("pv")), F.col("nn"), F.col("pn")
+            ).alias("psim"),
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("psim"), F.asc("p"))
+        asg = (
+            sims.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("v", F.col("p").alias("cluster"))
+        )
+        cent = (
+            asg.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.floor(F.avg("x")).cast("long").alias("c"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda s: s["c"],
+                ).alias("cv")
+            )
+        )
+        piv = (
+            piv.join(cent, piv.p == cent.cluster, "left")
+            .select(
+                "p", F.coalesce(F.col("cv"), F.col("pv")).alias("pv")
+            )
+            .withColumn("pn", _sq_norm(F.col("pv")))
+        )
+    return piv
+
+
+def _assign_top(q: DataFrame, piv: DataFrame, n: int) -> DataFrame:
+    """Top-n max-cosine pivots per vector (ties → lowest pivot id)."""
+    sims = q.crossJoin(F.broadcast(piv)).select(
+        "id",
+        "v",
+        "nn",
+        "p",
+        _cosine(_dot(F.col("v"), F.col("pv")), F.col("nn"), F.col("pn")).alias(
+            "psim"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("psim"), F.asc("p"))
+    return (
+        sims.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= n)
+        .select("id", "v", "nn", F.col("p").alias("cluster"))
+    )
+
+
 def knn_ivf(
     emb: DataFrame,
     k: int = 5,
     n_pivots: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
+    kmeans_iterations: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: exact search within the assigned cluster only
-    (single-probe IVF). Deterministic; recall < 1 by design."""
+    """Approximate top-k: exact search within the probed cluster(s).
+    Defaults reproduce the single-probe, first-vectors-as-pivots
+    baseline exactly; `kmeans_iterations` trains the pivots with
+    deterministic Lloyd rounds, and `n_probes` > 1 searches each
+    query's top-p clusters (corpus stays top-1 assigned) — recall goes
+    up with probe count at Σ probed-cluster-size pair cost."""
+    if kmeans_iterations > 0 or n_probes > 1:
+        q = _prep(emb, id_col, vec_col)
+        piv = kmeans_pivots(
+            emb, n_pivots, kmeans_iterations, id_col, vec_col
+        ) if kmeans_iterations > 0 else q.filter(
+            F.col("id") < n_pivots
+        ).select(
+            F.col("id").alias("p"), F.col("v").alias("pv"),
+            F.col("nn").alias("pn"),
+        )
+        corpus = _assign_top(q, piv, 1)
+        probes = _assign_top(q, piv, n_probes)
+        a = probes.select(
+            F.col("id").alias("a"), F.col("v").alias("va"),
+            F.col("nn").alias("na"), "cluster",
+        )
+        b = corpus.select(
+            F.col("id").alias("b"), F.col("v").alias("vb"),
+            F.col("nn").alias("nb"), F.col("cluster").alias("cluster_b"),
+        )
+        pairs = a.join(b, F.col("cluster") == F.col("cluster_b")).filter(
+            F.col("a") != F.col("b")
+        ).dropDuplicates(["a", "b"])
+        sims = pairs.select(
+            "a",
+            "b",
+            _cosine(
+                _dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+            ).alias("sim"),
+        )
+        w = Window.partitionBy("a").orderBy(F.desc("sim"), F.asc("b"))
+        return (
+            sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("a").alias("vec_id"),
+                F.col("b").alias("neighbor_id"),
+                "sim",
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
     assigned = ivf_assign(emb, n_pivots, id_col, vec_col)
     a = assigned.select(
         F.col("id").alias("a"), F.col("v").alias("va"),

@@ -292,3 +292,41 @@ def test_simhash_banding_matches_crossjoin(spark):
             .collect()
         }
         assert banded == brute, r
+
+
+def test_knn_ivf_multiprobe_and_kmeans(spark):
+    """Multi-probe + k-means-trained IVF: results stay self-free, all
+    probed neighbors rank correctly, and recall@1 vs exact brute force
+    is at least as good as single-probe."""
+    emb = emb_df(spark)
+    exact1 = {
+        r.vec_id: r.neighbor_id
+        for r in knn_cosine(emb, k=1).collect()
+    }
+
+    def recall(df):
+        got = {r.vec_id: r.neighbor_id for r in df.filter("rank = 1").collect()}
+        hit = sum(1 for u, n in exact1.items() if got.get(u) == n)
+        return hit / len(exact1)
+
+    single = knn_ivf(emb, k=2, n_pivots=2)
+    multi = knn_ivf(emb, k=2, n_pivots=2, n_probes=2)
+    trained = knn_ivf(emb, k=2, n_pivots=2, n_probes=2, kmeans_iterations=2)
+    for df in (single, multi, trained):
+        assert all(r.vec_id != r.neighbor_id for r in df.collect())
+    assert recall(multi) >= recall(single)
+    # 2 probes over 2 pivots = full search ⇒ exact recall
+    assert recall(multi) == 1.0
+    assert recall(trained) == 1.0
+
+
+def test_kmeans_pivots_deterministic(spark):
+    from nutch_spark.pipeline.similarity import kmeans_pivots
+
+    emb = emb_df(spark)
+    a = {r.p: (r.pv, r.pn) for r in kmeans_pivots(emb, 2, 2).collect()}
+    b = {
+        r.p: (r.pv, r.pn)
+        for r in kmeans_pivots(emb.repartition(7), 2, 2).collect()
+    }
+    assert a == b  # bit-identical across partitionings
