@@ -290,29 +290,31 @@ def _hits(pat: str) -> str:
     return f"len(regexp_extract_all(concat(' ', text, ' '), ' ({pat}) '))"
 
 
-_L = {
-    "en": "the|a|an|of|to|in|and|is",
-    "es": "el|la|de|que|y|un|los",
-    "de": "der|die|das|und|ist|von|ein",
-    "fr": "le|les|et|des|une|du|au",
-}
-ORACLE_LANGID = f"""
-WITH c AS (
-  SELECT doc_id,
-    cast({_hits(_L['en'])} as bigint) AS hits_en,
-    cast({_hits(_L['es'])} as bigint) AS hits_es,
-    cast({_hits(_L['de'])} as bigint) AS hits_de,
-    cast({_hits(_L['fr'])} as bigint) AS hits_fr
-  FROM documents)
-SELECT cast(doc_id as bigint) AS doc_id,
-       hits_en, hits_es, hits_de, hits_fr,
-       case when hits_en >= hits_es AND hits_en >= hits_de
-                 AND hits_en >= hits_fr then 'en'
-            when hits_es >= hits_de AND hits_es >= hits_fr then 'es'
-            when hits_de >= hits_fr then 'de'
-            else 'fr' end AS detected_lang
-FROM c
-"""
+def _langid_oracle() -> str:
+    """Generated from textstats.LANG_STOPWORDS — single source of
+    truth, so Spark ladder and SQL ladder cannot drift."""
+    from .textstats import LANG_STOPWORDS
+
+    langs = list(LANG_STOPWORDS)
+    hit_cols = ",\n    ".join(
+        f"cast({_hits('|'.join(LANG_STOPWORDS[l]))} as bigint) AS hits_{l}"
+        for l in langs
+    )
+    cases = []
+    for i, l in enumerate(langs[:-1]):
+        conds = " AND ".join(f"hits_{l} >= hits_{l2}" for l2 in langs[i + 1:])
+        cases.append(f"when {conds} then '{l}'")
+    ladder = "case " + " ".join(cases) + f" else '{langs[-1]}' end"
+    out_cols = ", ".join(f"hits_{l}" for l in langs)
+    return (
+        "WITH c AS (\n  SELECT doc_id,\n    " + hit_cols
+        + "\n  FROM documents)\n"
+        + "SELECT cast(doc_id as bigint) AS doc_id,\n       "
+        + out_cols + ",\n       " + ladder + " AS detected_lang\nFROM c"
+    )
+
+
+ORACLE_LANGID = _langid_oracle()
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,11 +28,16 @@ PUNCT_RE = r"[^a-z0-9 ]"
 
 # minimal per-language stopword profiles (expandable; broadcast a real
 # profile table at production scale)
+# priority order = dict order: a language wins a tie against every
+# LATER profile (fixed deterministic ladder)
 LANG_STOPWORDS = {
     "en": ["the", "a", "an", "of", "to", "in", "and", "is"],
     "es": ["el", "la", "de", "que", "y", "un", "los"],
     "de": ["der", "die", "das", "und", "ist", "von", "ein"],
     "fr": ["le", "les", "et", "des", "une", "du", "au"],
+    "it": ["il", "di", "che", "per", "con", "non", "sono"],
+    "pt": ["o", "que", "do", "da", "em", "um", "uma"],
+    "nl": ["het", "een", "van", "dat", "niet", "zijn"],
 }
 
 
@@ -93,29 +98,39 @@ def quality_scores(
 
 
 def detect_language(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    profiles: dict[str, list[str]] | None = None,
 ) -> DataFrame:
-    """Stopword-profile language ID. Ties break in fixed profile order
-    (en > es > de > fr) so the result is deterministic."""
+    """Stopword-profile language ID over an arbitrary profile table.
+    Ties break in profile order (dict order) so the result is
+    deterministic; at production scale the profile table is just a
+    bigger dict — the plan stays one regexp_count per language in the
+    scan stage."""
+    profiles = LANG_STOPWORDS if profiles is None else profiles
+    langs = list(profiles)
     t = F.col(text_col)
     hits = {
         lang: stopword_hits(t, words).cast("long")
-        for lang, words in LANG_STOPWORDS.items()
+        for lang, words in profiles.items()
     }
-    detected = (
-        F.when(
-            (hits["en"] >= hits["es"])
-            & (hits["en"] >= hits["de"])
-            & (hits["en"] >= hits["fr"]),
-            F.lit("en"),
+    detected = F.lit(langs[-1])
+    ladder = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for later in langs[i + 1:]:
+            c = hits[lang] >= hits[later]
+            cond = c if cond is None else (cond & c)
+        ladder = (
+            F.when(cond, F.lit(lang))
+            if ladder is None
+            else ladder.when(cond, F.lit(lang))
         )
-        .when((hits["es"] >= hits["de"]) & (hits["es"] >= hits["fr"]), F.lit("es"))
-        .when(hits["de"] >= hits["fr"], F.lit("de"))
-        .otherwise(F.lit("fr"))
-    )
+    detected = ladder.otherwise(F.lit(langs[-1])) if ladder is not None else detected
     return docs.select(
         F.col(id_col),
-        *[hits[lang].alias(f"hits_{lang}") for lang in LANG_STOPWORDS],
+        *[hits[lang].alias(f"hits_{lang}") for lang in langs],
         detected.alias("detected_lang"),
     )
 
