@@ -16,7 +16,7 @@ Scale design (the reason each algorithm is shaped the way it is):
     join restricted to candidate pairs. The band join's skew (a hot
     bucket = a big dup cluster) is handled by AQE skew-join; bucket
     size can also be capped before the join.
-  - SimHash: per-row 16-bit fingerprint from shingle hashes; near-dup
+  - SimHash: per-row 32-bit fingerprint from shingle hashes; near-dup
     pairs = hamming distance ≤ r, found by EXACT bit-band blocking
     (r+1 bands ⇒ any pair within distance r shares a band) — an
     equi-join on band value, never an all-pairs scan.
@@ -78,6 +78,11 @@ def ngram_jaccard_pairs(
     distinct shingles and self-join on shingle (all co-shingled pairs)."""
     s = shingled(docs, text_col, id_col, n)
     if candidates is not None:
+        # the candidate side is small, so AQE plans broadcast joins:
+        # the corpus shingle table is SCANNED twice but never shuffled.
+        # (A semi-join prune on candidate doc-ids was measured 5×
+        # slower here — deriving the id set forces the whole candidate
+        # pipeline, signatures included, to execute twice.)
         sa = s.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
         sb = s.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
         j = candidates.join(sa, "a").join(sb, "b")
@@ -184,7 +189,7 @@ def minhash_dedup_pairs(
 
 
 def _bit(h: Column, i: int) -> Column:
-    """Bit i of a 16-bit hash from md5 hex char parity (+1/-1)."""
+    """Bit i (≤ 31) of the fingerprint from md5 hex nibble parity (+1/-1)."""
     return F.when(
         F.substring(h, i + 1, 1).isin(*ODD_HEX), F.lit(1)
     ).otherwise(F.lit(-1))
@@ -193,11 +198,14 @@ def _bit(h: Column, i: int) -> Column:
 def simhash(
     docs: DataFrame,
     n: int = 3,
-    bits: int = 16,
+    bits: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """16-bit SimHash over shingle features: bit i of the fingerprint
+    """SimHash over shingle features (default 32-bit — one parity bit
+    per md5 hex nibble, the widest this scheme supports; wider
+    fingerprints make the bit-band buckets in `simhash_pairs`
+    exponentially finer): bit i of the fingerprint
     is the majority of bit i over all shingle hashes. explode+groupBy
     (one shuffle on doc id); the per-feature bit extraction stays in
     codegen."""
@@ -220,7 +228,7 @@ def simhash_pairs(
     docs: DataFrame,
     max_distance: int = 2,
     n: int = 3,
-    bits: int = 16,
+    bits: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:

@@ -48,7 +48,12 @@ _ODD = "('1','3','5','7','9','b','d','f')"
 
 def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, ["documents"])
-    return spark.sql(CORPUS_SQL)
+    # the documents parquet ships in ~3 files; the dedup family's
+    # per-row shingle/hash work is expression-heavy (interpreted inside
+    # array lambdas), so spread it across the full core count — at
+    # production scale the input table already has proper partitioning
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return spark.sql(CORPUS_SQL).repartition(n)
 
 
 # ---------------------------------------------------------------------
@@ -182,10 +187,10 @@ def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BIT_SUMS = ",\n       ".join(
     f"sum(case when substr(h, {i + 1}, 1) in {_ODD} then 1 else -1 end) AS s{i}"
-    for i in range(16)
+    for i in range(32)
 )
 _BIT_VAL = " + ".join(
-    f"(case when s{i} > 0 then {1 << i} else 0 end)" for i in range(16)
+    f"(case when s{i} > 0 then {1 << i} else 0 end)" for i in range(32)
 )
 _SIMHASH_CTE = f"""
 hsh AS (SELECT doc_id, md5(g) AS h FROM dsh),

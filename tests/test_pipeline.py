@@ -72,7 +72,7 @@ def test_minhash_lsh_recovers_dups(spark):
 def test_simhash_near_means_close(spark):
     h = {r.id: r.simhash for r in simhash(docs_df(spark)).collect()}
     assert h[0] == h[1]
-    assert 0 <= h[0] < (1 << 16)
+    assert 0 <= h[0] < (1 << 32)  # 32-bit fingerprint
     pairs = {(r.a, r.b): r.hamming for r in
              simhash_pairs(docs_df(spark), max_distance=4).collect()}
     assert pairs[(0, 1)] == 0
