@@ -95,9 +95,19 @@ def fetch(
     allow_forbidden: bool = False,
     retry_frac: float = 0.0,
     num_partitions: int | None = None,
-    queue_mode: str = "byHost",  # byHost | byDomain (fetcher.queue.mode)
+    queue_mode: str = "byHost",  # byHost | byDomain | byIP (fetcher.queue.mode)
+    resolver: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Run the simulated fetch over a fetchlist; returns fetch_results."""
+    """Run the simulated fetch over a fetchlist; returns fetch_results.
+
+    ``byIP`` keys the politeness queue on the host's resolved address
+    (FetchItem.create, fetcher/FetchItem.java:60-101: hosts sharing a
+    server share one queue; unresolvable hosts fall back to the
+    hostname). DNS is an external effect, so the verdicts arrive as the
+    `resolver` mapping (host → IP) — at scale produced by a
+    mapInPandas resolver stage over distinct hosts and broadcast; with
+    no mapping each host falls back to itself, which degrades byIP to
+    byHost exactly like all-distinct-IPs would."""
     from ..functions.urls import get_domain  # noqa: PLC0415
 
     spark = fetchlist.sparkSession
@@ -107,6 +117,7 @@ def fetch(
     )
     tpq = max(threads_per_queue, 1)
     by_domain = queue_mode == "byDomain"
+    by_ip = queue_mode == "byIP"
 
     def process_block(pdf: pd.DataFrame) -> pd.DataFrame:
         """One queue-sorted block of complete queue groups, single pass.
@@ -245,6 +256,19 @@ def fetch(
             )
 
         keyed = fetchlist.withColumn("_qkey", _domain_key(F.col("host")))
+    elif by_ip:
+        from pyspark.sql import types as T  # noqa: PLC0415
+
+        ip_bc = spark.sparkContext.broadcast(resolver or {})
+
+        @F.pandas_udf(T.StringType())
+        def _ip_key(hosts_s: pd.Series) -> pd.Series:
+            tbl = ip_bc.value
+            return pd.Series(
+                [tbl.get(h, h) for h in hosts_s], index=hosts_s.index
+            )
+
+        keyed = fetchlist.withColumn("_qkey", _ip_key(F.col("host")))
     else:
         keyed = fetchlist.withColumn("_qkey", F.col("host"))
 

@@ -178,3 +178,22 @@ def test_queue_mode_by_domain(spark):
     # byHost: the two hosts run concurrently ⇒ two fetches at T0
     res_h = fetch(fl, robots_map(cfg), cfg, T0).collect()
     assert sorted(r.fetch_time for r in res_h)[:2] == [T0, T0]
+
+
+def test_queue_mode_by_ip(spark):
+    """byIP queue mode: hosts resolving to the same address share one
+    politeness queue; hosts without a resolver entry fall back to their
+    own hostname (FetchItem.create, fetcher/FetchItem.java:60-101)."""
+    cfg = WebConfig(n_hosts=6, pages_per_host=2, zipf=False,
+                    gone_frac=0, redir_frac=0)
+    urls = [page_url(cfg, h, i) for h in (0, 1) for i in range(2)]
+    fl = make_fetchlist(spark, cfg, urls)
+    shared = {host_name(cfg, 0): "10.0.0.1", host_name(cfg, 1): "10.0.0.1"}
+    res = fetch(fl, robots_map(cfg), cfg, T0, queue_mode="byIP",
+                resolver=shared).collect()
+    ts = sorted(r.fetch_time for r in res)
+    assert ts[-1] - ts[0] >= 3 * 5000  # one queue of 4 at 5s delay
+    assert len(set(ts)) == 4
+    # no resolver ⇒ per-host queues, two immediate fetches
+    res_h = fetch(fl, robots_map(cfg), cfg, T0, queue_mode="byIP").collect()
+    assert sorted(r.fetch_time for r in res_h)[:2] == [T0, T0]
