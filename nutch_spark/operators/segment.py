@@ -120,3 +120,61 @@ def segment_dump(
 def segment_get(url: str, **tables) -> DataFrame:
     """All segment records for one URL (SegmentReader -get)."""
     return segment_dump(url=url, **tables)
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI twin of `nutch readseg` (SegmentReader.main,
+    segment/SegmentReader.java): list | dump | get over a SnapshotStore
+    warehouse's segment tables."""
+    import argparse
+    import json as _json
+
+    from ..session import get_spark
+    from ..store import SnapshotStore
+
+    ap = argparse.ArgumentParser(description="segment query surface")
+    ap.add_argument("--warehouse", required=True)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list")
+    d = sub.add_parser("dump")
+    d.add_argument("--out")
+    g = sub.add_parser("get")
+    g.add_argument("url")
+    args = ap.parse_args(argv)
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    store = SnapshotStore(args.warehouse)
+
+    def _read(table: str):
+        try:
+            return store.read(spark, table)
+        except FileNotFoundError:
+            return None
+
+    tables = dict(
+        fetchlist=_read("fetchlist"),
+        fetch_results=_read("fetch_results"),
+        parse_data=_read("parse_data"),
+        crawl_parse=_read("crawl_parse"),
+    )
+    if args.cmd == "list":
+        out = segment_stats(
+            tables["fetchlist"], tables["fetch_results"], tables["parse_data"]
+        )
+        for row in out.orderBy("segment").collect():
+            print(_json.dumps(row.asDict(), default=str))
+    elif args.cmd == "dump":
+        out = segment_dump(**tables)
+        if args.out:
+            out.write.mode("overwrite").json(args.out)
+        else:
+            for row in out.limit(100).collect():
+                print(_json.dumps(row.asDict(), default=str))
+    elif args.cmd == "get":
+        for row in segment_get(args.url, **tables).collect():
+            print(_json.dumps(row.asDict(), default=str))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,9 @@ class WebConfig:
     blocked_hosts: tuple[int, ...] = ()  # robots: forbid-all
     slow_hosts: tuple[int, ...] = ()  # robots: crawl_delay > max ⇒ skipped
     crawl_delay: float = 5.0  # fetcher.server.delay default
+    # fraction of ok pages carrying embedded sub-documents (subdoc
+    # spans → non-canonical parse entries + canonical-key datums)
+    subdoc_frac: float = 0.0
 
 
 def _h(cfg: WebConfig, *parts: object) -> int:
@@ -168,6 +171,27 @@ def page_spans(cfg: WebConfig, url: str) -> list[dict]:
         )
         li += 1
         off += 1
+    # embedded sub-documents (fork's multi-entry ParseResult): a
+    # deterministic fraction of pages carries 1-2 subdoc spans whose
+    # sub-URLs live under the page (zip/feed-entry style `!/subN`)
+    if cfg.subdoc_frac > 0:
+        r = _h(cfg, "subdoc", url) % 10_000
+        if r < int(cfg.subdoc_frac * 10_000):
+            n_subs = 1 + (r % 2)
+            for sidx in range(n_subs):
+                stxt = " ".join(
+                    _WORDS[(cid >> (3 * w + sidx)) % len(_WORDS)]
+                    for w in range(4)
+                )
+                spans.append(
+                    {
+                        "kind": "subdoc",
+                        "text": stxt,
+                        "media_ref": f"{url}!/sub{sidx}",
+                        "offset": off,
+                    }
+                )
+                off += 1
     return spans
 
 

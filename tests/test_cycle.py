@@ -162,3 +162,30 @@ def test_store_append_write_mode_discipline(spark, tmp_path):
     # and appending after a full write refuses again
     with pytest.raises(ValueError):
         store.append(df3, "m")
+
+
+def test_e2e_cycle_with_subdocs(spark):
+    """A crawl over a web with embedded sub-documents records sub-URLs
+    as db_fetched via the canonical-key datum — no separate fetch."""
+    from nutch_spark.constants import STATUS_DB_FETCHED
+    from nutch_spark.synth import WebConfig, page_spans, robots_rows, seeds_df
+
+    web = WebConfig(n_hosts=4, pages_per_host=5, zipf=False, gone_frac=0,
+                    redir_frac=0, subdoc_frac=0.5)
+    robots = {r["host"]: r for r in robots_rows(web)}
+    fr = inject(spark, None, seeds_df(spark, web), T0)
+    for depth in range(2):
+        fl = generate(fr, T0 + depth, f"s{depth}", top_n=100)
+        res = fetch(fl, robots, web, T0 + depth).localCheckpoint()
+        _, cp = parse(res)
+        fr = updatedb(spark, fr, res, cp.localCheckpoint(), T0 + depth)
+        fr = fr.localCheckpoint()
+    rows = fr.collect()
+    subs = [r for r in rows if "!/sub" in r.url]
+    assert subs, "subdoc_frac=0.5 over ≥8 fetched pages must yield sub-entries"
+    for r in subs:
+        assert r.status == STATUS_DB_FETCHED
+        assert r.signature is not None
+    # determinism: page_spans oracle sees the same subdoc spans
+    any_page = [r.url for r in rows if "!/sub" not in r.url][0]
+    assert page_spans(web, any_page) == page_spans(web, any_page)

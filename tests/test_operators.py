@@ -480,3 +480,32 @@ def test_linkrank_quantized_tracks_double(spark):
     q2 = {r.url: r.score_units for r in
           linkrank_quantized(edges.repartition(13), iterations=5).collect()}
     assert q == q2  # bit-identical under different partitioning
+
+
+def test_segment_cli_list_and_get(spark, tmp_path, capsys):
+    """`python -m nutch_spark.operators.segment` — the readseg CLI twin."""
+    import json
+
+    from pyspark.sql import Row
+
+    from nutch_spark.operators import segment as segmod
+    from nutch_spark.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "w"))
+    fl = spark.createDataFrame(
+        [Row(url=f"http://h/{i}", segment="s1") for i in range(3)]
+    )
+    fr = spark.createDataFrame(
+        [Row(url="http://h/0", segment="s1", fetch_time=5, status=33)]
+    )
+    store.write(fl, "fetchlist")
+    store.write(fr, "fetch_results")
+    segmod.main(["--warehouse", str(tmp_path / "w"), "list"])
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[0]["segment"] == "s1"
+    assert out[0]["generated"] == 3 and out[0]["fetched"] == 1
+    assert out[0]["parsed"] == -1  # parse_data table absent
+
+    segmod.main(["--warehouse", str(tmp_path / "w"), "get", "http://h/0"])
+    got = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {g["part"] for g in got} == {"crawl_generate", "crawl_fetch"}
