@@ -726,6 +726,52 @@ SEG_A_SQL = _seg_sql(3, "segA", 0)
 SEG_B_SQL = _seg_sql(2, "segB", 3_600_000)
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DomainStatistics in domain mode: fetched/notmodified URL counts
+    per registered domain (util/domain/DomainStatistics.java:64-151)."""
+    from .operators.readdb import domain_statistics
+
+    out = domain_statistics(frontier_df(spark, sf_dir), mode="domain")
+    return out.select("key", F.col("n_urls").cast("long").alias("n_urls"))
+
+
+# frontier status = 1 + k % 6 ⇒ fetched(2) for k%6=1, notmodified(6)
+# for k%6=5; registered domain of hostN.exampleM.com = exampleM.com —
+# derived from the same key arithmetic as the input
+ORACLE_DOMAIN_STATS = f"""
+WITH f AS (
+  SELECT concat('example', cast(o_orderkey % 3 as string), '.com') AS key,
+         1 + o_orderkey % 6 AS status
+  FROM orders)
+SELECT key, cast(count(*) as bigint) AS n_urls
+FROM f WHERE status in (2, 6) GROUP BY key
+"""
+
+
+def q_crawl_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlCompletionStats in host mode: FETCHED vs UNFETCHED counts
+    per host (util/CrawlCompletionStats.java:79-132)."""
+    from .operators.readdb import crawl_completion_stats
+
+    out = crawl_completion_stats(frontier_df(spark, sf_dir), mode="host")
+    return out.select(
+        "key", "state", F.col("n_urls").cast("long").alias("n_urls")
+    )
+
+
+ORACLE_CRAWL_COMPLETION = f"""
+WITH f AS (
+  SELECT {_host('o_orderkey')} AS key, 1 + o_orderkey % 6 AS status
+  FROM orders)
+SELECT key,
+       case when status in (2, 6) then 'FETCHED' else 'UNFETCHED' end
+         AS state,
+       cast(count(*) as bigint) AS n_urls
+FROM f GROUP BY key,
+  case when status in (2, 6) then 'FETCHED' else 'UNFETCHED' end
+"""
+
+
 def q_segment_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SegmentReader -list over two segments: generated / fetcher
     start+end / fetched / parsed stats (SegmentReader.java getStats);
@@ -1606,6 +1652,8 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "crawldb_merge": (q_crawldb_merge, ORACLE_CRAWLDB_MERGE),
     "segment_merge": (q_segment_merge, ORACLE_SEGMENT_MERGE),
     "segment_list": (q_segment_list, ORACLE_SEGMENT_LIST),
+    "domain_stats": (q_domain_stats, ORACLE_DOMAIN_STATS),
+    "crawl_completion": (q_crawl_completion, ORACLE_CRAWL_COMPLETION),
     "readdb_retry_histogram": (q_retry_histogram, ORACLE_RETRY_HISTOGRAM),
     "seen_exact": (q_seen_exact, ORACLE_SEEN_EXACT),
     "text_profile_signature": (q_text_profile, ORACLE_TEXT_PROFILE),

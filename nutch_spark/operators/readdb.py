@@ -131,6 +131,64 @@ def dump_format(frontier: DataFrame, fmt: str = "csv") -> DataFrame:
     raise ValueError(f"unknown dump format: {fmt}")
 
 
+def domain_statistics(frontier: DataFrame, mode: str = "domain") -> DataFrame:
+    """DomainStatistics (util/domain/DomainStatistics.java:64-151):
+    counts of fetched/notmodified URLs grouped by host | domain |
+    suffix | tld. One hash aggregate — combiner for free."""
+    from ..constants import STATUS_DB_FETCHED, STATUS_DB_NOTMODIFIED
+    from ..functions.urls import domain_col
+
+    host = F.col("host")
+    if mode == "host":
+        key = host
+    elif mode == "domain":
+        key = domain_col(host)
+    elif mode == "suffix":
+        # DomainSuffix = the registered domain minus its first label
+        # (example.co.uk → co.uk; example.com → com)
+        parts = F.split(domain_col(host), r"\.")
+        key = F.concat_ws(
+            ".", F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(1)))
+        )
+    elif mode == "tld":
+        key = F.element_at(F.split(host, r"\."), -1)
+    else:
+        raise ValueError(mode)
+    return (
+        frontier.filter(
+            F.col("status").isin(STATUS_DB_FETCHED, STATUS_DB_NOTMODIFIED)
+        )
+        .groupBy(key.alias("key"))
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
+def crawl_completion_stats(frontier: DataFrame, mode: str = "host") -> DataFrame:
+    """CrawlCompletionStats (util/CrawlCompletionStats.java:79-132):
+    per host|domain counts split into FETCHED (db_fetched/notmodified)
+    vs UNFETCHED (everything else)."""
+    from ..constants import STATUS_DB_FETCHED, STATUS_DB_NOTMODIFIED
+    from ..functions.urls import domain_col
+
+    key = F.col("host") if mode == "host" else domain_col(F.col("host"))
+    state = F.when(
+        F.col("status").isin(STATUS_DB_FETCHED, STATUS_DB_NOTMODIFIED),
+        F.lit("FETCHED"),
+    ).otherwise(F.lit("UNFETCHED"))
+    return (
+        frontier.groupBy(key.alias("key"), state.alias("state"))
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
+def protocol_status_stats(fetch_results: DataFrame) -> DataFrame:
+    """ProtocolStatusStatistics (util/ProtocolStatusStatistics.java):
+    segment-wide counts per protocol status code."""
+    return fetch_results.groupBy("protocol_status").agg(
+        F.count("*").alias("n_urls")
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     """CLI twin of `nutch readdb` (CrawlDbReader.run,
     CrawlDbReader.java:642-684): -stats | -dump | -topN | -url over a

@@ -509,3 +509,58 @@ def test_segment_cli_list_and_get(spark, tmp_path, capsys):
     segmod.main(["--warehouse", str(tmp_path / "w"), "get", "http://h/0"])
     got = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert {g["part"] for g in got} == {"crawl_generate", "crawl_fetch"}
+
+
+def test_domain_and_completion_stats(spark):
+    """DomainStatistics modes + CrawlCompletionStats + protocol status
+    counts (util/domain/DomainStatistics.java, CrawlCompletionStats,
+    ProtocolStatusStatistics)."""
+    from pyspark.sql import Row
+
+    from nutch_spark.operators.readdb import (
+        crawl_completion_stats,
+        domain_statistics,
+        protocol_status_stats,
+    )
+    from nutch_spark.schema import FRONTIER
+
+    def fr_row(url, host, status):
+        return Row(url=url, url_hash=hash(url), host=host, status=status,
+                   fetch_time=1, retries=0, fetch_interval=2592000,
+                   score=1.0, signature=None, modified_time=0, metadata=None)
+
+    fr = spark.createDataFrame(
+        [
+            fr_row("http://a.example.co.uk/1", "a.example.co.uk", 2),
+            fr_row("http://b.example.co.uk/2", "b.example.co.uk", 6),
+            fr_row("http://c.other.com/3", "c.other.com", 2),
+            fr_row("http://c.other.com/4", "c.other.com", 1),  # unfetched
+        ],
+        FRONTIER,
+    )
+    dom = {r.key: r.n_urls for r in
+           domain_statistics(fr, mode="domain").collect()}
+    assert dom == {"example.co.uk": 2, "other.com": 1}
+    hst = {r.key: r.n_urls for r in
+           domain_statistics(fr, mode="host").collect()}
+    assert hst == {"a.example.co.uk": 1, "b.example.co.uk": 1,
+                   "c.other.com": 1}
+    sfx = {r.key: r.n_urls for r in
+           domain_statistics(fr, mode="suffix").collect()}
+    assert sfx == {"co.uk": 2, "com": 1}
+    tld = {r.key: r.n_urls for r in
+           domain_statistics(fr, mode="tld").collect()}
+    assert tld == {"uk": 2, "com": 1}
+    cc = {(r.key, r.state): r.n_urls for r in
+          crawl_completion_stats(fr, mode="domain").collect()}
+    assert cc[("example.co.uk", "FETCHED")] == 2
+    assert cc[("other.com", "FETCHED")] == 1
+    assert cc[("other.com", "UNFETCHED")] == 1
+
+    fres = spark.createDataFrame(
+        [Row(protocol_status=s) for s in
+         ["success", "success", "notfound", "robots_denied"]]
+    )
+    ps = {r.protocol_status: r.n_urls for r in
+          protocol_status_stats(fres).collect()}
+    assert ps == {"success": 2, "notfound": 1, "robots_denied": 1}
