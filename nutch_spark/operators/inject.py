@@ -42,7 +42,8 @@ from ..schema import FRONTIER
 
 
 def prepare_seeds(
-    seeds: DataFrame, cur_time_ms: int, hooks: ScoringHooks = OPIC
+    seeds: DataFrame, cur_time_ms: int, hooks: ScoringHooks = OPIC,
+    normalizers=None,  # functions.urlplugins.ScopedNormalizers | None
 ) -> DataFrame:
     """Normalize/filter seeds and shape them as frontier rows.
 
@@ -51,10 +52,14 @@ def prepare_seeds(
     meta = F.coalesce(
         F.col("metadata"), F.create_map().cast("map<string,string>")
     )
+    renamed = seeds.withColumnRenamed("url", "_url_raw")
+    normed = (
+        normalizers.with_normalized(renamed, "_url_raw", "url", scope="inject")
+        if normalizers is not None
+        else with_normalized(renamed, "_url_raw", "url")
+    )
     s = (
-        with_normalized(
-            seeds.withColumnRenamed("url", "_url_raw"), "_url_raw", "url"
-        )
+        normed
         .drop("_url_raw")
         .filter(F.col("url").isNotNull() & (F.col("url") != ""))
         .filter(accept_urls(F.col("url")))
@@ -95,8 +100,9 @@ def inject(
     update: bool = False,
     purge_404: bool = False,
     hooks: ScoringHooks = OPIC,
+    normalizers=None,
 ) -> DataFrame:
-    inj = prepare_seeds(seeds, cur_time_ms, hooks)
+    inj = prepare_seeds(seeds, cur_time_ms, hooks, normalizers)
     if frontier is None:
         frontier = spark.createDataFrame([], FRONTIER)
     if purge_404:

@@ -129,6 +129,7 @@ def parse(
     score_external: float = Defaults.SCORE_LINK_EXTERNAL,
     hooks: ScoringHooks = OPIC,
     exemptions=None,  # functions.urlplugins.ExemptionRules | None
+    normalizers=None,  # functions.urlplugins.ScopedNormalizers | None
 ) -> tuple[DataFrame, DataFrame]:
     """fetch_results → (parse_data, crawl_parse).
 
@@ -138,10 +139,11 @@ def parse(
     exactly once per page."""
     pd_ = parse_pages(
         fetch_results, max_outlinks, ignore_external, external_mode,
-        exemptions,
+        exemptions, normalizers,
     )
     cp = crawl_parse_from(
-        pd_, fetch_results, score_internal, score_external, hooks
+        pd_, fetch_results, score_internal, score_external, hooks,
+        normalizers,
     )
     return pd_, cp
 
@@ -152,6 +154,7 @@ def parse_pages(
     ignore_external: bool = False,
     external_mode: str = "byHost",
     exemptions=None,
+    normalizers=None,
 ) -> DataFrame:
     """extraction + outlink pipeline → parse_data, in one lineage.
 
@@ -164,7 +167,7 @@ def parse_pages(
     filters), so cutting the lineage there is worth one extra write."""
     return finish_pages(
         extract_pages(fetch_results), max_outlinks, ignore_external,
-        external_mode, exemptions,
+        external_mode, exemptions, normalizers,
     )
 
 
@@ -262,8 +265,15 @@ def finish_pages(
     ignore_external: bool = False,
     external_mode: str = "byHost",
     exemptions=None,
+    normalizers=None,
 ) -> DataFrame:
-    """Outlink pipeline over extracted pages → parse_data."""
+    """Outlink pipeline over extracted pages → parse_data.
+
+    With a custom `normalizers` chain (ScopedNormalizers), EVERY page
+    takes the explode path and outlinks run through the chain's
+    `outlink` scope — the canonical fast path only proves basic-
+    normalize identity, which a custom chain (e.g. session-id rewrite
+    rules) does not imply (URLNormalizers scope semantics)."""
 
     # --- fast path: every outlink already canonical → pure array ops ---
     # NULL-safe: a NULL outlink element (schema allows null media_ref)
@@ -274,6 +284,8 @@ def finish_pages(
         ~F.exists(F.col("raw_outlinks"), lambda u: ~is_canonical(u)),
         F.lit(False),
     )
+    if normalizers is not None:
+        all_canonical = F.lit(False)  # custom chain ⇒ always normalize
     fast = base.filter(all_canonical)
     ext_ok = (
         (lambda u: _host_kind_filter(
@@ -320,7 +332,8 @@ def finish_pages(
     # --- slow path: some outlink needs real normalization ---
     slow = base.filter(~all_canonical)
     slow_pages = _slow_outlink_pipeline(
-        slow, max_outlinks, ignore_external, external_mode, exemptions
+        slow, max_outlinks, ignore_external, external_mode, exemptions,
+        normalizers,
     )
 
     pages = fast_pages.unionByName(slow_pages)
@@ -346,6 +359,7 @@ def crawl_parse_from(
     score_internal: float = Defaults.SCORE_LINK_INTERNAL,
     score_external: float = Defaults.SCORE_LINK_EXTERNAL,
     hooks: ScoringHooks = OPIC,
+    normalizers=None,
 ) -> DataFrame:
     """parse_data (+ fetch_results for redirects) → crawl_parse datums.
 
@@ -429,13 +443,16 @@ def crawl_parse_from(
     # metadata under META_REPR_URL and updatedb carries it into the db
     # row. Redirects are rare, so the pandas chooser stays off the hot
     # path.
-    redir_rows = with_normalized(
-        fetch_results.filter(
-            F.col("status").isin(STATUS_FETCH_REDIR_TEMP, STATUS_FETCH_REDIR_PERM)
-            & F.col("redirect_to").isNotNull()
-        ).select("url", "redirect_to", "status"),
-        "redirect_to",
-        "redir_norm",
+    redir_base = fetch_results.filter(
+        F.col("status").isin(STATUS_FETCH_REDIR_TEMP, STATUS_FETCH_REDIR_PERM)
+        & F.col("redirect_to").isNotNull()
+    ).select("url", "redirect_to", "status")
+    redir_rows = (
+        normalizers.with_normalized(
+            redir_base, "redirect_to", "redir_norm", scope="fetcher"
+        )
+        if normalizers is not None
+        else with_normalized(redir_base, "redirect_to", "redir_norm")
     ).withColumn(
         "repr_url",
         choose_repr_pd(
@@ -473,6 +490,7 @@ def _slow_outlink_pipeline(
     ignore_external: bool,
     external_mode: str,
     exemptions=None,
+    normalizers=None,
 ) -> DataFrame:
     """Explode → pandas-normalize → window dedup/cap, for the rare pages
     whose outlinks need real normalization. Normalize happens BEFORE
@@ -483,7 +501,12 @@ def _slow_outlink_pipeline(
         "host",
         F.posexplode_outer("raw_outlinks").alias("pos", "to_url_raw"),
     )
-    ex = with_normalized(ex, "to_url_raw", "to_url")
+    if normalizers is not None:
+        ex = normalizers.with_normalized(
+            ex, "to_url_raw", "to_url", scope="outlink"
+        )
+    else:
+        ex = with_normalized(ex, "to_url_raw", "to_url")
     ex = ex.filter(
         F.col("to_url").isNotNull()
         & (F.col("to_url") != "")

@@ -180,3 +180,47 @@ def test_exemption_bypasses_ignore_external(spark):
         "http://h.example.com/in",
         "http://cdn.partner.net/asset",
     ]
+
+
+def test_scoped_chain_live_in_parse_and_inject(spark):
+    """A registered outlink-scope regex chain strips session ids from
+    extracted outlinks end-to-end, and an inject-scope chain rewrites
+    seeds — the URLNormalizers scope surface is live, not a registry."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.inject import inject
+    from nutch_spark.operators.parse import parse
+    from nutch_spark.schema import FETCH_RESULTS
+    from tests.test_parse import fetch_result_row, spans_of
+
+    sn = ScopedNormalizers()
+    sn.set_chain(SCOPE_OUTLINK, [RegexNormalizer(), normalize_url])
+    sn.set_chain("inject", [RegexNormalizer(), normalize_url])
+
+    spans = spans_of(
+        ("media", "http://h.example.com/a;jsessionid=deadbeef"),
+        ("media", "http://h.example.com/b"),
+    )
+    df = spark.createDataFrame(
+        [fetch_result_row("http://h.example.com/p", spans)], FETCH_RESULTS
+    )
+    pd_, _ = parse(df, normalizers=sn)
+    assert [o.to_url for o in pd_.collect()[0].outlinks] == [
+        "http://h.example.com/a",
+        "http://h.example.com/b",
+    ]
+    # default chain: basic normalize keeps the session id, and the
+    # default regex-urlfilter then DROPS the URL (contains '='), so the
+    # outlink is lost entirely — the rewrite chain is what saves it
+    pd0, _ = parse(df)
+    assert [o.to_url for o in pd0.collect()[0].outlinks] == [
+        "http://h.example.com/b",
+    ]
+
+    seeds = spark.createDataFrame(
+        [("HTTP://S.example.com/x;PHPSESSID=1", None)],
+        "url string, metadata map<string,string>",
+    )
+    fr = inject(spark, None, seeds, 1_700_000_000_000, normalizers=sn)
+    assert [r.url for r in fr.collect()] == ["http://s.example.com/x"]
