@@ -56,6 +56,7 @@ def generate(
     max_interval: int = Defaults.FETCH_INTERVAL_MAX,
     num_fetch_partitions: int | None = None,
     hooks: ScoringHooks = OPIC,
+    url_filters=None,  # functions.urlplugins.FilterChain | None
 ) -> DataFrame:
     """Return the fetchlist DataFrame (frontier cols + segment).
 
@@ -65,6 +66,8 @@ def generate(
     df = frontier
     if apply_filters:
         df = df.filter(accept_urls(F.col("url")))
+    if url_filters is not None:
+        df = df.filter(url_filters.udf()(F.col("url")))
     if min_score is not None:
         df = df.filter(F.col("score") >= F.lit(float(min_score)))
     if predicate:

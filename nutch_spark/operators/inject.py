@@ -44,6 +44,7 @@ from ..schema import FRONTIER
 def prepare_seeds(
     seeds: DataFrame, cur_time_ms: int, hooks: ScoringHooks = OPIC,
     normalizers=None,  # functions.urlplugins.ScopedNormalizers | None
+    url_filters=None,  # functions.urlplugins.FilterChain | None
 ) -> DataFrame:
     """Normalize/filter seeds and shape them as frontier rows.
 
@@ -65,6 +66,8 @@ def prepare_seeds(
         .filter(accept_urls(F.col("url")))
         .withColumn("metadata", meta)
     )
+    if url_filters is not None:
+        s = s.filter(url_filters.udf()(F.col("url")))
     score = hooks.injected_score(
         F.coalesce(
             F.element_at("metadata", META_SCORE_KEY).cast("float"),
@@ -101,8 +104,9 @@ def inject(
     purge_404: bool = False,
     hooks: ScoringHooks = OPIC,
     normalizers=None,
+    url_filters=None,
 ) -> DataFrame:
-    inj = prepare_seeds(seeds, cur_time_ms, hooks, normalizers)
+    inj = prepare_seeds(seeds, cur_time_ms, hooks, normalizers, url_filters)
     if frontier is None:
         frontier = spark.createDataFrame([], FRONTIER)
     if purge_404:

@@ -130,6 +130,7 @@ def parse(
     hooks: ScoringHooks = OPIC,
     exemptions=None,  # functions.urlplugins.ExemptionRules | None
     normalizers=None,  # functions.urlplugins.ScopedNormalizers | None
+    url_filters=None,  # functions.urlplugins.FilterChain | None
 ) -> tuple[DataFrame, DataFrame]:
     """fetch_results → (parse_data, crawl_parse).
 
@@ -139,7 +140,7 @@ def parse(
     exactly once per page."""
     pd_ = parse_pages(
         fetch_results, max_outlinks, ignore_external, external_mode,
-        exemptions, normalizers,
+        exemptions, normalizers, url_filters,
     )
     cp = crawl_parse_from(
         pd_, fetch_results, score_internal, score_external, hooks,
@@ -155,6 +156,7 @@ def parse_pages(
     external_mode: str = "byHost",
     exemptions=None,
     normalizers=None,
+    url_filters=None,
 ) -> DataFrame:
     """extraction + outlink pipeline → parse_data, in one lineage.
 
@@ -167,7 +169,7 @@ def parse_pages(
     filters), so cutting the lineage there is worth one extra write."""
     return finish_pages(
         extract_pages(fetch_results), max_outlinks, ignore_external,
-        external_mode, exemptions, normalizers,
+        external_mode, exemptions, normalizers, url_filters,
     )
 
 
@@ -266,6 +268,7 @@ def finish_pages(
     external_mode: str = "byHost",
     exemptions=None,
     normalizers=None,
+    url_filters=None,
 ) -> DataFrame:
     """Outlink pipeline over extracted pages → parse_data.
 
@@ -273,7 +276,10 @@ def finish_pages(
     takes the explode path and outlinks run through the chain's
     `outlink` scope — the canonical fast path only proves basic-
     normalize identity, which a custom chain (e.g. session-id rewrite
-    rules) does not imply (URLNormalizers scope semantics)."""
+    rules) does not imply (URLNormalizers scope semantics). A custom
+    `url_filters` FilterChain likewise forces the explode path and runs
+    IN ADDITION to the default regex rules (≙ enabling extra filter
+    plugins in the URLFilters chain)."""
 
     # --- fast path: every outlink already canonical → pure array ops ---
     # NULL-safe: a NULL outlink element (schema allows null media_ref)
@@ -284,8 +290,8 @@ def finish_pages(
         ~F.exists(F.col("raw_outlinks"), lambda u: ~is_canonical(u)),
         F.lit(False),
     )
-    if normalizers is not None:
-        all_canonical = F.lit(False)  # custom chain ⇒ always normalize
+    if normalizers is not None or url_filters is not None:
+        all_canonical = F.lit(False)  # custom chain ⇒ always slow path
     fast = base.filter(all_canonical)
     ext_ok = (
         (lambda u: _host_kind_filter(
@@ -333,7 +339,7 @@ def finish_pages(
     slow = base.filter(~all_canonical)
     slow_pages = _slow_outlink_pipeline(
         slow, max_outlinks, ignore_external, external_mode, exemptions,
-        normalizers,
+        normalizers, url_filters,
     )
 
     pages = fast_pages.unionByName(slow_pages)
@@ -491,6 +497,7 @@ def _slow_outlink_pipeline(
     external_mode: str,
     exemptions=None,
     normalizers=None,
+    url_filters=None,
 ) -> DataFrame:
     """Explode → pandas-normalize → window dedup/cap, for the rare pages
     whose outlinks need real normalization. Normalize happens BEFORE
@@ -513,6 +520,8 @@ def _slow_outlink_pipeline(
         & accept_urls(F.col("to_url"))
         & (F.col("to_url") != F.col("url"))
     )
+    if url_filters is not None:
+        ex = ex.filter(url_filters.udf()(F.col("to_url")))
     if ignore_external:
         ex = ex.filter(
             _host_kind_filter(

@@ -224,3 +224,33 @@ def test_scoped_chain_live_in_parse_and_inject(spark):
     )
     fr = inject(spark, None, seeds, 1_700_000_000_000, normalizers=sn)
     assert [r.url for r in fr.collect()] == ["http://s.example.com/x"]
+
+
+def test_filter_chain_live_in_parse_and_inject(spark):
+    """A custom FilterChain (domain allowlist) drops outlinks and seeds
+    beyond the default regex rules — URLFilters chain is live."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.inject import inject
+    from nutch_spark.operators.parse import parse
+    from nutch_spark.schema import FETCH_RESULTS
+    from tests.test_parse import fetch_result_row, spans_of
+
+    chain = FilterChain([DomainFilter(["example.com"])])
+    spans = spans_of(
+        ("media", "http://a.example.com/keep"),
+        ("media", "http://b.other.net/drop"),
+    )
+    df = spark.createDataFrame(
+        [fetch_result_row("http://h.example.com/p", spans)], FETCH_RESULTS
+    )
+    pd_, _ = parse(df, url_filters=chain)
+    assert [o.to_url for o in pd_.collect()[0].outlinks] == [
+        "http://a.example.com/keep"
+    ]
+    seeds = spark.createDataFrame(
+        [("http://s.example.com/x", None), ("http://s.other.net/y", None)],
+        "url string, metadata map<string,string>",
+    )
+    fr = inject(spark, None, seeds, 1_700_000_000_000, url_filters=chain)
+    assert [r.url for r in fr.collect()] == ["http://s.example.com/x"]
