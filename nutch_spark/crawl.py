@@ -35,6 +35,12 @@ from .operators.inject import inject
 from .operators.linkdb import invert_links
 from .operators.parse import crawl_parse_from, extract_pages, finish_pages
 from .operators.updatedb import updatedb
+
+
+def _OPIC():
+    from .functions.scoring import OPIC
+
+    return OPIC
 from .metrics import partition_counts, status_counters
 from .store import SnapshotStore
 from .synth import WebConfig, robots_rows, seeds_df
@@ -45,7 +51,7 @@ class CrawlConfig:
     depth: int = 3
     topn: int = 1000
     max_count: int = Defaults.GENERATE_MAX_COUNT
-    schedule: str = "default"
+    schedule: str = "default"  # default | adaptive | mime_adaptive
     dedup_each_cycle: bool = True
     mark_generate: bool = True
     start_time_ms: int = 1_700_000_000_000
@@ -53,6 +59,17 @@ class CrawlConfig:
     # False skips per-stage .count() round-trips (throughput mode);
     # counters are still recoverable from the metrics table
     collect_stats: bool = True
+    # plugin surface (≙ the reference's conf-enabled plugin set):
+    # scoring hooks, scoped normalizer chains, extra URL filters,
+    # exemption rules, politeness queue key — all flow to the stages
+    hooks: object | None = None  # functions.scoring.ScoringHooks
+    normalizers: object | None = None  # urlplugins.ScopedNormalizers
+    url_filters: object | None = None  # urlplugins.FilterChain
+    exemptions: object | None = None  # urlplugins.ExemptionRules
+    queue_mode: str = "byHost"  # byHost | byDomain | byIP
+    resolver: dict | None = None  # host → IP (byIP mode)
+    ignore_external: bool = False
+    external_mode: str = "byHost"
 
 
 class Crawler:
@@ -67,6 +84,23 @@ class Crawler:
         self.robots = {r["host"]: r for r in robots_rows(web)}
 
     # -- helpers --
+    def _plugin_kwargs(self, stage: str) -> dict:
+        """Per-stage kwargs for the configured plugin surface (only
+        non-default values are passed, so operator defaults rule)."""
+        c = self.cfg
+        kw: dict = {}
+        if c.hooks is not None and stage in ("inject", "generate", "parse",
+                                             "updatedb"):
+            kw["hooks"] = c.hooks
+        if c.normalizers is not None and stage in ("inject", "parse"):
+            kw["normalizers"] = c.normalizers
+        if c.url_filters is not None and stage in ("inject", "generate",
+                                                   "parse"):
+            kw["url_filters"] = c.url_filters
+        if c.exemptions is not None and stage == "parse":
+            kw["exemptions"] = c.exemptions
+        return kw
+
     def _frontier(self) -> DataFrame | None:
         return (
             self.store.read(self.spark, "frontier")
@@ -86,7 +120,10 @@ class Crawler:
         if self.store.stage_done("inject", "inject"):
             return
         seeds = seeds if seeds is not None else seeds_df(self.spark, self.web)
-        fr = inject(self.spark, self._frontier(), seeds, self.cfg.start_time_ms)
+        fr = inject(
+            self.spark, self._frontier(), seeds, self.cfg.start_time_ms,
+            **self._plugin_kwargs("inject"),
+        )
         self.store.write(fr, "frontier")
         self._write_metrics(self.store.read(self.spark, "frontier"), "inject", "inject")
         self.store.mark_stage("inject", "inject")
@@ -101,7 +138,9 @@ class Crawler:
         if not self.store.stage_done(seg, "generate"):
             fr = self._frontier()
             fl = generate(
-                fr, now, seg, top_n=self.cfg.topn, max_count=self.cfg.max_count
+                fr, now, seg, top_n=self.cfg.topn,
+                max_count=self.cfg.max_count,
+                **self._plugin_kwargs("generate"),
             )
             self.store.write(fl, "fetchlist")
             if self.cfg.mark_generate:
@@ -120,7 +159,11 @@ class Crawler:
             return stats
 
         if not self.store.stage_done(seg, "fetch"):
-            res = fetch(fl, self.robots, self.web, now)
+            res = fetch(
+                fl, self.robots, self.web, now,
+                queue_mode=self.cfg.queue_mode,
+                resolver=self.cfg.resolver,
+            )
             self.store.write(res, "fetch_results")
             self._write_metrics(
                 self.store.read(self.spark, "fetch_results"), seg, "fetch"
@@ -134,11 +177,29 @@ class Crawler:
             # three materializations ≙ the reference segment's
             # parse_text / parse_data / crawl_parse dirs; each expensive
             # expression chain runs exactly once per page (see parse.py)
+            pk = self._plugin_kwargs("parse")
             self.store.write(extract_pages(res), "parse_text")
             base = self.store.read(self.spark, "parse_text")
-            self.store.write(finish_pages(base), "parse_data")
+            self.store.write(
+                finish_pages(
+                    base,
+                    ignore_external=self.cfg.ignore_external,
+                    external_mode=self.cfg.external_mode,
+                    exemptions=pk.get("exemptions"),
+                    normalizers=pk.get("normalizers"),
+                    url_filters=pk.get("url_filters"),
+                ),
+                "parse_data",
+            )
             pd_r = self.store.read(self.spark, "parse_data")
-            self.store.write(crawl_parse_from(pd_r, res), "crawl_parse")
+            self.store.write(
+                crawl_parse_from(
+                    pd_r, res,
+                    hooks=pk.get("hooks") or _OPIC(),
+                    normalizers=pk.get("normalizers"),
+                ),
+                "crawl_parse",
+            )
             self.store.mark_stage(seg, "parse")
         parse_data = self.store.read(self.spark, "parse_data")
         crawl_parse = self.store.read(self.spark, "crawl_parse")
@@ -153,6 +214,7 @@ class Crawler:
                 crawl_parse,
                 now,
                 schedule=self.cfg.schedule,
+                **self._plugin_kwargs("updatedb"),
             )
             if self.cfg.dedup_each_cycle:
                 fr2 = dedup(fr2)

@@ -189,3 +189,28 @@ def test_e2e_cycle_with_subdocs(spark):
     # determinism: page_spans oracle sees the same subdoc spans
     any_page = [r.url for r in rows if "!/sub" not in r.url][0]
     assert page_spans(web, any_page) == page_spans(web, any_page)
+
+
+def test_crawler_with_plugin_surface(spark, tmp_path):
+    """The driver threads the configured plugin surface (hooks chain,
+    filter chain, queue mode, schedule) through every stage."""
+    from dataclasses import replace as dreplace
+
+    from nutch_spark.functions.scoring import OPIC
+    from nutch_spark.functions.urlplugins import DomainFilter, FilterChain
+
+    web = WebConfig(n_hosts=4, pages_per_host=4, zipf=False)
+    cfg = CrawlConfig(
+        depth=1, topn=50, start_time_ms=T0, dedup_each_cycle=False,
+        schedule="mime_adaptive",
+        hooks=dreplace(OPIC, update_db_score=lambda b, a: b + a * 0.5),
+        url_filters=FilterChain([DomainFilter(["example0.com",
+                                               "example1.com",
+                                               "example2.com"])]),
+        queue_mode="byDomain",
+    )
+    store = SnapshotStore(str(tmp_path / "w"))
+    rounds = Crawler(spark, store, web, cfg).crawl()
+    assert rounds[0]["fetched"] > 0
+    fr = store.read(spark, "frontier")
+    assert fr.count() > 0
