@@ -189,10 +189,31 @@ def minhash_dedup_pairs(
 
 
 def _bit(h: Column, i: int) -> Column:
-    """Bit i (≤ 31) of the fingerprint from md5 hex nibble parity (+1/-1)."""
+    """Bit i (≤ 31) of the fingerprint from md5 hex nibble parity (+1/-1).
+
+    Kept for reference/tests; the aggregation below uses the chunked
+    `conv` form (same parity, ~8× less per-row allocation)."""
     return F.when(
         F.substring(h, i + 1, 1).isin(*ODD_HEX), F.lit(1)
     ).otherwise(F.lit(-1))
+
+
+def _nibble_parity_chunks(h: Column, bits: int) -> list[Column]:
+    """Parse the md5 hex into 8-nibble integer chunks once; nibble i's
+    parity is then a shift+mask on a long — far cheaper than 32
+    substring+isin evaluations per row (less UTF8String allocation)."""
+    n_chunks = (bits + 7) // 8
+    return [
+        F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long")
+        for j in range(n_chunks)
+    ]
+
+
+def _parity01(chunks: list[Column], i: int) -> Column:
+    """0/1 parity of hex nibble i via its chunk (nibble k-from-left of
+    an 8-nibble value v = (v >> 4*(7-k)) & 1 for the low bit)."""
+    j, k = divmod(i, 8)
+    return F.shiftrightunsigned(chunks[j], 4 * (7 - k)).bitwiseAND(F.lit(1))
 
 
 def simhash(
@@ -213,13 +234,18 @@ def simhash(
     ex = s.select("id", F.explode("sh").alias("g")).withColumn(
         "h", F.md5(F.col("g"))
     )
-    aggs = [
-        F.sum(_bit(F.col("h"), i)).alias(f"s{i}") for i in range(bits)
+    chunks = _nibble_parity_chunks(F.col("h"), bits)
+    # sum of 0/1 parities + total count; bit set iff strict majority
+    # (2·ones > n) — identical to the ±1-sum > 0 rule incl. ties
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(_parity01(chunks, i)).alias(f"s{i}") for i in range(bits)
     ]
     summed = ex.groupBy("id").agg(*aggs)
     fp = None
     for i in range(bits):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        term = F.when(
+            F.col(f"s{i}") * 2 > F.col("_n"), F.lit(1 << i)
+        ).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return summed.select("id", fp.cast("long").alias("simhash"))
 

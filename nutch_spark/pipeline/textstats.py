@@ -137,16 +137,24 @@ def detect_language(
 
 def shingles_col(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (whole text as one shingle if too
-    short). Per-row array program — no explode needed to build it."""
+    short). Per-row array program — no explode needed to build it.
+
+    Built by zip_with over n SHIFTED SLICES of the token array, not by
+    element_at inside a transform lambda: Catalyst has no subexpression
+    elimination for lambda-bearing expressions, so the element_at form
+    re-evaluated the split() n times PER SHINGLE (measured ~160×
+    redundant tokenization on 50-token docs); the slice form evaluates
+    split O(n) times per ROW and the lambda only concatenates."""
     toks = F.split(text, " ")
     sz = F.size(toks)
-    idx = F.sequence(F.lit(1), sz - F.lit(n - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
-        ),
-    )
+    m = sz - F.lit(n - 1)  # shingle count
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return F.when(sz >= n, grams).otherwise(F.array(text))
 
 
