@@ -52,6 +52,11 @@ def exact_dedup(
 
 
 def shingled(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    # NOTE: downstream multi-reference consumers (minhash's 8 signature
+    # columns) re-inline this projection, but with the slice-based
+    # shingle builder the rebuild is ~0.5 s per reference at sf0.1 and
+    # an evaluate-once barrier measured as a wash — the md5 transform
+    # passes dominate.
     return docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles_col(F.col(text_col), n)).alias("sh"),
