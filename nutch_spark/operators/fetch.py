@@ -69,18 +69,9 @@ from ..schema import FETCH_RESULTS
 from ..synth import WebConfig, page_outcome, page_spans
 
 
-def _robots_allows(rules: dict | None, path: str, allow_forbidden: bool) -> bool:
-    if rules is None:
-        return True
-    code = rules.get("http_code", 200)
-    if code >= 500:
-        return True  # 5xx ⇒ allow-all, uncached
-    if code == 403 and not allow_forbidden:
-        return False  # forbid-all
-    for prefix in rules.get("disallow") or ():
-        if path.startswith(prefix):
-            return False
-    return True
+# longest-match Allow/Disallow + HTTP status rules; rules dicts come
+# from synth.robots_rows or functions.robots.parse_robots_txt
+from ..functions.robots import robots_allows as _robots_allows  # noqa: E402
 
 
 def fetch(
@@ -160,7 +151,7 @@ def fetch(
                 continue
             url = urls[i]
             path = "/" + url.partition("://")[2].partition("/")[2]
-            if not _robots_allows(rules, path, allow_forbidden):
+            if not _robots_allows(rules, path, allow_forbidden=allow_forbidden):
                 statuses[i] = STATUS_FETCH_GONE
                 protos[i] = "robots_denied"
                 continue

@@ -197,3 +197,70 @@ def test_queue_mode_by_ip(spark):
     # no resolver ⇒ per-host queues, two immediate fetches
     res_h = fetch(fl, robots_map(cfg), cfg, T0, queue_mode="byIP").collect()
     assert sorted(r.fetch_time for r in res_h)[:2] == [T0, T0]
+
+
+def test_parse_robots_txt_grammar():
+    """robots.txt grammar + crawler-commons matching semantics
+    (protocol/RobotRulesParser.java → SimpleRobotRulesParser): agent
+    substring groups, named-beats-wildcard, longest-match Allow/
+    Disallow with Allow winning ties, Crawl-delay, empty Disallow."""
+    from nutch_spark.functions.robots import parse_robots_txt, robots_allows
+
+    txt = """
+# robots for example.com
+User-agent: googlebot
+Disallow: /private/
+
+User-agent: nutch-crawler
+User-agent: otherbot
+Disallow: /secret/
+Allow: /secret/ok/
+Crawl-delay: 2.5
+
+User-agent: *
+Disallow: /all/
+"""
+    r = parse_robots_txt(txt, agent="nutch")
+    assert r["crawl_delay"] == 2.5
+    assert not robots_allows(r, "/secret/x")
+    assert robots_allows(r, "/secret/ok/y")  # longer Allow wins
+    assert robots_allows(r, "/all/z")  # named group won, '*' ignored
+    assert robots_allows(r, "/open")
+
+    w = parse_robots_txt(txt, agent="unknownbot")
+    assert not robots_allows(w, "/all/z")  # wildcard group applies
+    assert robots_allows(w, "/secret/x")
+
+    # empty Disallow ⇒ allow everything; missing file ⇒ allow
+    e = parse_robots_txt("User-agent: *\nDisallow:\n", agent="nutch")
+    assert robots_allows(e, "/anything")
+    assert robots_allows(parse_robots_txt(None), "/x")
+
+    # Allow/Disallow tie at equal length → Allow
+    t = parse_robots_txt(
+        "User-agent: *\nDisallow: /a/\nAllow: /a/\n", agent="nutch"
+    )
+    assert robots_allows(t, "/a/page")
+
+    # HTTP status rules (HttpRobotRulesParser.java:137-147)
+    assert robots_allows({"http_code": 503}, "/x")
+    assert not robots_allows({"http_code": 403}, "/x")
+    assert robots_allows({"http_code": 403}, "/x", allow_forbidden=True)
+
+
+def test_fetch_with_parsed_robots(spark):
+    """A parsed robots.txt drives the fetch gate end-to-end (Allow
+    carve-out inside a Disallow subtree)."""
+    from nutch_spark.functions.robots import parse_robots_txt
+
+    cfg = WebConfig(n_hosts=2, pages_per_host=4, zipf=False,
+                    gone_frac=0, redir_frac=0)
+    h0 = host_name(cfg, 0)
+    robots = {h0: parse_robots_txt(
+        "User-agent: *\nDisallow: /p/\nAllow: /p/00002\n", agent="nutch")}
+    urls = [page_url(cfg, 0, i) for i in range(4)]
+    fl = make_fetchlist(spark, cfg, urls)
+    res = {r.url: r for r in fetch(fl, robots, cfg, T0).collect()}
+    for i in (0, 1, 3):
+        assert res[page_url(cfg, 0, i)].protocol_status == "robots_denied"
+    assert res[page_url(cfg, 0, 2)].protocol_status == "success"
