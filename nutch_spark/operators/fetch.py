@@ -88,8 +88,18 @@ def fetch(
     num_partitions: int | None = None,
     queue_mode: str = "byHost",  # byHost | byDomain | byIP (fetcher.queue.mode)
     resolver: dict[str, str] | None = None,
+    time_limit_ms: int | None = None,  # fetcher.timelimit.mins × 60000
 ) -> DataFrame:
     """Run the simulated fetch over a fetchlist; returns fetch_results.
+
+    ``time_limit_ms`` is the fetcher timebomb (Fetcher.java:391-396,
+    FetchItemQueues.checkTimelimit/emptyQueues): once a queue's
+    politeness schedule would run past cur_time + limit, the rest of
+    that queue is DROPPED — no output rows; the URLs stay due in the
+    frontier and are regenerated after the gen-delay marker expires.
+    (The throughput kill-switch shares emptyQueues in the reference;
+    it has no analogue here because the simulated fetch has no
+    varying page rate.)
 
     ``byIP`` keys the politeness queue on the host's resolved address
     (FetchItem.create, fetcher/FetchItem.java:60-101: hosts sharing a
@@ -109,6 +119,9 @@ def fetch(
     tpq = max(threads_per_queue, 1)
     by_domain = queue_mode == "byDomain"
     by_ip = queue_mode == "byIP"
+    deadline_ms = (
+        cur_time_ms + time_limit_ms if time_limit_ms is not None else None
+    )
 
     def process_block(pdf: pd.DataFrame) -> pd.DataFrame:
         """One queue-sorted block of complete queue groups, single pass.
@@ -155,7 +168,13 @@ def fetch(
                 statuses[i] = STATUS_FETCH_GONE
                 protos[i] = "robots_denied"
                 continue
-            ftimes[i] = cur_time_ms + (slot // tpq) * delay_ms
+            t_assigned = cur_time_ms + (slot // tpq) * delay_ms
+            if deadline_ms is not None and t_assigned >= deadline_ms:
+                # timebomb: this and every later slot of the queue
+                # would fire past the limit — drop (no output row)
+                statuses[i] = -1
+                continue
+            ftimes[i] = t_assigned
             slot += 1
             kind, redirect_to = page_outcome(web, url)
             if retry_frac > 0 and kind == "ok":
@@ -196,7 +215,7 @@ def fetch(
                 statuses[i] = STATUS_FETCH_GONE
                 protos[i] = "notfound"
 
-        return pd.DataFrame(
+        out_pdf = pd.DataFrame(
             {
                 "url": pdf["url"],
                 "url_hash": pdf["url_hash"],
@@ -216,6 +235,9 @@ def fetch(
                 "segment": pdf["segment"],
             }
         )
+        if deadline_ms is not None:
+            out_pdf = out_pdf[out_pdf["status"] != -1]
+        return out_pdf
 
     def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None

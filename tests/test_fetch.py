@@ -264,3 +264,19 @@ def test_fetch_with_parsed_robots(spark):
     for i in (0, 1, 3):
         assert res[page_url(cfg, 0, i)].protocol_status == "robots_denied"
     assert res[page_url(cfg, 0, 2)].protocol_status == "success"
+
+
+def test_fetch_time_limit_drops_queue_tail(spark):
+    """fetcher.timelimit: politeness slots past the deadline are
+    dropped — no output rows, URLs stay due in the frontier
+    (Fetcher.java:391-396, FetchItemQueues.emptyQueues)."""
+    cfg = WebConfig(n_hosts=1, pages_per_host=6, zipf=False,
+                    gone_frac=0, redir_frac=0)
+    urls = [page_url(cfg, 0, i) for i in range(4)]
+    fl = make_fetchlist(spark, cfg, urls)
+    # delay 5s; slots at T0, +5s, +10s, +15s; limit 11s keeps 3
+    res = fetch(fl, robots_map(cfg), cfg, T0, time_limit_ms=11_000).collect()
+    assert len(res) == 3
+    assert max(r.fetch_time for r in res) <= T0 + 10_000
+    # no limit: all 4 fetched
+    assert len(fetch(fl, robots_map(cfg), cfg, T0).collect()) == 4
