@@ -136,8 +136,15 @@ def steady_cycle(executors: int, cores_per: int, n_hosts: int, pages: int,
 
 
 def run_e2e_crawl(executors: int, cores_per: int, hosts: int, pages: int,
-                  depth: int, topn: int, max_count: int = 60) -> dict:
-    """Full resumable depth-K crawl (snapshot store, lineage metrics)."""
+                  depth: int, topn: int, max_count: int = 60,
+                  plugins: bool = False) -> dict:
+    """Full resumable depth-K crawl (snapshot store, lineage metrics).
+
+    plugins=True turns the whole configurable surface on at once —
+    mime-adaptive schedule, byDomain politeness queues, embedded
+    sub-documents (canonical-key datums), a domain-allowlist filter
+    chain, and a non-default scoring hook — evidence the integrated
+    feature set holds at bench scale, not just in unit tests."""
     from nutch_spark.crawl import CrawlConfig, Crawler
     from nutch_spark.operators.inject import inject
     from nutch_spark.session import get_spark
@@ -149,12 +156,35 @@ def run_e2e_crawl(executors: int, cores_per: int, hosts: int, pages: int,
     wh = tempfile.mkdtemp(prefix="bench_wh_")
     try:
         inject(spark, None, seeds_df(spark, WebConfig(n_hosts=4)), 1).count()
+        cfg_kw = {}
+        web_kw = {}
+        if plugins:
+            from dataclasses import replace as _dreplace
+
+            from nutch_spark.functions.scoring import OPIC
+            from nutch_spark.functions.urlplugins import (
+                DomainFilter,
+                FilterChain,
+            )
+
+            web_kw = dict(subdoc_frac=0.2)
+            cfg_kw = dict(
+                schedule="mime_adaptive",
+                queue_mode="byDomain",
+                hooks=_dreplace(
+                    OPIC, update_db_score=lambda b, a: b + a * 0.5
+                ),
+                url_filters=FilterChain(
+                    [DomainFilter([f"example{i}.com" for i in range(3)])]
+                ),
+            )
         web = WebConfig(n_hosts=hosts, pages_per_host=pages,
-                        outlinks_per_page=12)
+                        outlinks_per_page=12, **web_kw)
         crawler = Crawler(
             spark, SnapshotStore(wh), web,
             CrawlConfig(depth=depth, topn=topn, max_count=max_count,
-                        mark_generate=False, collect_stats=False),
+                        mark_generate=False, collect_stats=False,
+                        **cfg_kw),
         )
         t0 = time.time()
         crawler.crawl()
@@ -221,6 +251,9 @@ def run_phase(phase: str) -> dict:
     if phase == "e2e":
         return run_e2e_crawl(4, 8, hosts=5000, pages=60, depth=3,
                              topn=300_000)
+    if phase == "e2e_plugins":
+        return run_e2e_crawl(4, 8, hosts=2000, pages=40, depth=2,
+                             topn=100_000, plugins=True)
     if phase == "queries":
         return run_queries(sf_dir, cpus)
     raise ValueError(phase)
@@ -245,6 +278,7 @@ def main() -> None:
     eff = speedup / execs_hi
 
     e2e = _run_phase("e2e")
+    e2e_plugins = _run_phase("e2e_plugins")
     qtimes = _run_phase("queries")
     total = time.time() - t_all
 
@@ -261,6 +295,7 @@ def main() -> None:
                 "queries": qtimes,
                 "sf": sf,
                 "crawl": e2e,
+                "crawl_plugins_on": e2e_plugins,
                 "scaling": {
                     "low": low,
                     "high": high,
