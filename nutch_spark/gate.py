@@ -726,6 +726,45 @@ SEG_A_SQL = _seg_sql(3, "segA", 0)
 SEG_B_SQL = _seg_sql(2, "segB", 3_600_000)
 
 
+def q_fetch_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the REAL politeness scheduler (fetch stage, robots-clean)
+    and check its assigned timestamps exactly: slot k of a host queue
+    fires at now + (k // threads_per_queue) · crawl_delay, with the
+    queue ordered by url_hash (HashComparator fetch order,
+    Generator.java:399-429; FetchItemQueue politeness). This is the
+    north rule's politeness budget as a value-hashed oracle — not just
+    a pytest assertion."""
+    from .operators.fetch import fetch
+    from .synth import WebConfig
+
+    _views(spark, sf_dir, ["orders"])
+    fl = spark.sql(FRONTIER_SQL).withColumn(
+        "metadata", F.lit(None).cast("map<string,string>")
+    ).withColumn("segment", F.lit("seg"))
+    res = fetch(
+        fl,
+        robots={},  # no rules ⇒ no blocks, default 5 s delay
+        web=WebConfig(n_hosts=97, pages_per_host=5),
+        cur_time_ms=CUR_MS,
+    )
+    return res.select("url", F.col("fetch_time").cast("long").alias("fetch_time"))
+
+
+ORACLE_FETCH_POLITENESS = f"""
+WITH fl AS (
+  SELECT {_url('o_orderkey')} AS url,
+         cast(o_orderkey * 2654435761 as bigint) AS url_hash,
+         {_host('o_orderkey')} AS host
+  FROM orders),
+ranked AS (
+  SELECT url,
+         row_number() OVER (PARTITION BY host ORDER BY url_hash) AS r
+  FROM fl)
+SELECT url, cast({CUR_MS} + (r - 1) * 5000 as bigint) AS fetch_time
+FROM ranked
+"""
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DomainStatistics in domain mode: fetched/notmodified URL counts
     per registered domain (util/domain/DomainStatistics.java:64-151)."""
@@ -1653,6 +1692,7 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "segment_merge": (q_segment_merge, ORACLE_SEGMENT_MERGE),
     "segment_list": (q_segment_list, ORACLE_SEGMENT_LIST),
     "domain_stats": (q_domain_stats, ORACLE_DOMAIN_STATS),
+    "fetch_politeness": (q_fetch_politeness, ORACLE_FETCH_POLITENESS),
     "crawl_completion": (q_crawl_completion, ORACLE_CRAWL_COMPLETION),
     "readdb_retry_histogram": (q_retry_histogram, ORACLE_RETRY_HISTOGRAM),
     "seen_exact": (q_seen_exact, ORACLE_SEEN_EXACT),
