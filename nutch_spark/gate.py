@@ -1203,23 +1203,65 @@ ORACLE_UPDATEDB_MIME_ADAPTIVE = _mime_oracle()
 
 
 def q_bloom_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter pre-screen (rows-only: membership bit math is not
-    portable SQL; the exact audit twin is `seen_exact`). False
-    positives only ever REMOVE candidates, so rows ≤ seen_exact rows."""
-    from .functions.urls import url_hash_col
+    """Bloom-filter pre-screen with a FULL value-hash oracle: the
+    filter keys on the derivation's arithmetic url_hash, so the
+    Kirsch–Mitzenmacher double-hash bit positions (h1 + i·h2 mod m)
+    are plain integer arithmetic DuckDB can replay bit-for-bit — the
+    oracle recomputes every probe's k positions against the union of
+    the seen set's positions per bucket. `seen_exact` remains the
+    exact (non-bloom) audit twin."""
     from .operators.seen import SeenFilter
 
     bs = SeenFilter(n_buckets=16)
-    # the bloom keys on xxhash64(url); the derived frontier carries an
-    # arithmetic url_hash, so rehash for filter build + probe parity
-    fr = frontier_df(spark, sf_dir).withColumn(
-        "url_hash", url_hash_col(F.col("url"))
-    )
+    fr = frontier_df(spark, sf_dir)  # url_hash = k · 2654435761
     seen = bs.build(fr)
-    cands = seeds_df(spark, sf_dir).select(
-        "url", url_hash_col(F.col("url")).alias("url_hash")
+    cands = spark.sql(
+        f"""
+        SELECT {_url('skey')} AS url,
+               cast(skey * 2654435761 as bigint) AS url_hash
+        FROM (
+          SELECT case when c_custkey % 3 = 0 then c_custkey * 7 + 300000
+                      else c_custkey * 7 end AS skey
+          FROM customer
+        ) s
+        """
     )
     return bs.unseen(cands, seen).select("url")
+
+
+# SeenFilter(n_buckets=16) defaults: m_bits = 10_000_000, k = 7;
+# h1 = low 32 bits, h2 = (high 32 bits) | 1 (logical shift — the
+# sign-extended SQL >> is masked back to the true high word);
+# bucket = floor-mod(h, 16). A candidate is maybe-seen iff ALL of its
+# 7 positions are set in its bucket's union of seen positions.
+ORACLE_BLOOM_UNSEEN = f"""
+WITH seen_keys AS (
+  SELECT cast(o_orderkey * 2654435761 as bigint) AS h FROM orders),
+cand AS (
+  SELECT {_url('skey')} AS url, cast(skey * 2654435761 as bigint) AS h
+  FROM (
+    SELECT case when c_custkey % 3 = 0 then c_custkey * 7 + 300000
+                else c_custkey * 7 end AS skey
+    FROM customer
+  ) s),
+bits AS (
+  SELECT DISTINCT ((h % 16) + 16) % 16 AS bucket,
+    ((h & 4294967295) + i * (((h >> 32) & 4294967295) | 1)) % 10000000
+      AS pos
+  FROM seen_keys, range(0, 7) t(i)),
+probe AS (
+  SELECT url, ((h % 16) + 16) % 16 AS bucket,
+    ((h & 4294967295) + i * (((h >> 32) & 4294967295) | 1)) % 10000000
+      AS pos
+  FROM cand, range(0, 7) t(i)),
+j AS (
+  SELECT p.url,
+         max(case when b.pos IS NULL then 1 else 0 end) AS missing
+  FROM probe p
+  LEFT JOIN bits b ON p.bucket = b.bucket AND p.pos = b.pos
+  GROUP BY p.url)
+SELECT url FROM j WHERE missing = 1
+"""
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1703,7 +1745,7 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "hostdb_update": (q_hostdb_update, ORACLE_HOSTDB_UPDATE),
     "warc_export": (q_warc_export, ORACLE_WARC_EXPORT),
     "urlfilter_chain": (q_urlfilter_chain, ORACLE_URLFILTER_CHAIN),
-    "bloom_unseen": (q_bloom_unseen, None),
+    "bloom_unseen": (q_bloom_unseen, ORACLE_BLOOM_UNSEEN),
     "linkrank": (q_linkrank, ORACLE_LINKRANK),
     "updatedb_adaptive": (q_updatedb_adaptive, ORACLE_UPDATEDB_ADAPTIVE),
     "updatedb_mime_adaptive": (q_updatedb_mime_adaptive, ORACLE_UPDATEDB_MIME_ADAPTIVE),
