@@ -1664,6 +1664,38 @@ WHERE o_orderkey % 5 <> 4
 """
 
 
+def q_score_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ScoreUpdater over the frontier with fixed-point LinkRank scores:
+    matched URLs take the node score, unmatched clear to 0
+    (scoring/webgraph/ScoreUpdater.java:65-110)."""
+    from .operators.linkdb import linkrank_quantized, update_scores
+
+    edges = links_df(spark, sf_dir).select("from_url", "to_url")
+    scores = linkrank_quantized(edges, iterations=3).select(
+        "url", F.col("score_units").cast("double").alias("score")
+    )
+    out = update_scores(frontier_df(spark, sf_dir), scores)
+    return out.select(
+        "url", F.col("score").cast("double").alias("score")
+    )
+
+
+def _score_update_oracle() -> str:
+    lr = _linkrank_oracle(iterations=3)
+    body = lr.split("WITH ", 1)[1]
+    ctes, tail = body.rsplit("\nSELECT", 1)
+    assert tail.startswith(" url, u AS score_units")
+    return (
+        "WITH " + ctes + f""",
+frontier AS ({FRONTIER_SQL})
+SELECT f.url,
+  cast(cast(coalesce(cast(s3.u as double), 0.0) as float) as double)
+    AS score
+FROM frontier f LEFT JOIN s3 ON f.url = s3.url
+"""
+    )
+
+
 def q_linkrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point LinkRank (bigint micro-units, exact integer sums +
     floor divisions) — reduction-order independent, so it carries a
@@ -1712,6 +1744,7 @@ def _linkrank_oracle(iterations: int = 5, scale: int = 1_000_000,
 
 
 ORACLE_LINKRANK = _linkrank_oracle()
+ORACLE_SCORE_UPDATE = _score_update_oracle()
 
 
 # ---------------------------------------------------------------------
@@ -1747,6 +1780,7 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "urlfilter_chain": (q_urlfilter_chain, ORACLE_URLFILTER_CHAIN),
     "bloom_unseen": (q_bloom_unseen, ORACLE_BLOOM_UNSEEN),
     "linkrank": (q_linkrank, ORACLE_LINKRANK),
+    "score_update": (q_score_update, ORACLE_SCORE_UPDATE),
     "updatedb_adaptive": (q_updatedb_adaptive, ORACLE_UPDATEDB_ADAPTIVE),
     "updatedb_mime_adaptive": (q_updatedb_mime_adaptive, ORACLE_UPDATEDB_MIME_ADAPTIVE),
 }

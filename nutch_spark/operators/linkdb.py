@@ -188,6 +188,53 @@ def update_hostdb(
     return out
 
 
+def update_scores(
+    frontier: DataFrame,
+    scores: DataFrame,
+    score_col: str = "score",
+    clear_score: float = 0.0,
+) -> DataFrame:
+    """ScoreUpdater (scoring/webgraph/ScoreUpdater.java:65-110):
+    overwrite frontier scores from a webgraph score table (LinkRank
+    output); URLs with no node row get `clear_score`. One left join on
+    url — broadcast-able when the score table is small, co-located at
+    scale by the shared url bucketing."""
+    sc = scores.select("url", F.col(score_col).alias("_new_score"))
+    return (
+        frontier.join(sc, "url", "left")
+        .withColumn(
+            "score",
+            F.coalesce(
+                F.col("_new_score").cast("float"),
+                F.lit(float(clear_score)),
+            ),
+        )
+        .drop("_new_score")
+    )
+
+
+def node_topn(
+    nodes: DataFrame, by: str = "in_degree", n: int = 100
+) -> DataFrame:
+    """NodeDumper (scoring/webgraph/NodeDumper.java): top-N nodes by
+    in/out degree or score — TakeOrderedAndProject, no global sort."""
+    return nodes.orderBy(F.desc(by), F.asc("url")).limit(n)
+
+
+def linkdb_dump(linkdb: DataFrame) -> DataFrame:
+    """LinkDbReader -dump: one (url, from_url, anchor) row per inlink."""
+    return linkdb.select(
+        "url", F.explode("inlinks").alias("i")
+    ).select("url", F.col("i.from_url").alias("from_url"),
+             F.col("i.anchor").alias("anchor"))
+
+
+def linkdb_get(linkdb: DataFrame, url: str) -> DataFrame:
+    """LinkDbReader -url: the inlinks of one URL (point lookup; at
+    scale the table's sort order prunes to one file)."""
+    return linkdb_dump(linkdb.filter(F.col("url") == url))
+
+
 def node_degrees(parse_data: DataFrame, linkdb: DataFrame) -> DataFrame:
     """WebGraph node table: out-degree ∪ in-degree per url."""
     out_deg = parse_data.select(

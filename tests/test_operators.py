@@ -564,3 +564,49 @@ def test_domain_and_completion_stats(spark):
     ps = {r.protocol_status: r.n_urls for r in
           protocol_status_stats(fres).collect()}
     assert ps == {"success": 2, "notfound": 1, "robots_denied": 1}
+
+
+def test_score_updater_and_webgraph_dumps(spark):
+    """ScoreUpdater overwrite/clear semantics + NodeDumper topN +
+    LinkDbReader dump/get (scoring/webgraph/ScoreUpdater.java,
+    NodeDumper.java; crawl/LinkDbReader.java)."""
+    from pyspark.sql import Row
+
+    from nutch_spark.operators.linkdb import (
+        invert_links,
+        linkdb_dump,
+        linkdb_get,
+        node_topn,
+        update_scores,
+    )
+    from nutch_spark.schema import FRONTIER
+
+    def fr_row(url):
+        return Row(url=url, url_hash=hash(url), host="h", status=2,
+                   fetch_time=1, retries=0, fetch_interval=2592000,
+                   score=9.0, signature=None, modified_time=0, metadata=None)
+
+    fr = spark.createDataFrame([fr_row("http://h/a"), fr_row("http://h/b")],
+                               FRONTIER)
+    scores = spark.createDataFrame([Row(url="http://h/a", score=2.5)])
+    out = {r.url: r.score for r in update_scores(fr, scores).collect()}
+    assert out["http://h/a"] == 2.5
+    assert out["http://h/b"] == 0.0  # cleared, no node row
+
+    nodes = spark.createDataFrame(
+        [Row(url=f"http://h/{i}", in_degree=i, out_degree=10 - i)
+         for i in range(5)]
+    )
+    top = [r.url for r in node_topn(nodes, by="in_degree", n=2).collect()]
+    assert top == ["http://h/4", "http://h/3"]
+
+    pd_ = parse_data_df(
+        spark, [("http://a/", ["http://t/x"]), ("http://b/", ["http://t/x"])]
+    )
+    ldb = invert_links(pd_)
+    flat = linkdb_dump(ldb).collect()
+    assert {(r.url, r.from_url) for r in flat} == {
+        ("http://t/x", "http://a/"), ("http://t/x", "http://b/"),
+    }
+    got = linkdb_get(ldb, "http://t/x").collect()
+    assert len(got) == 2
