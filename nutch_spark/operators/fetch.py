@@ -66,7 +66,7 @@ from ..constants import (
     STATUS_FETCH_SUCCESS,
 )
 from ..schema import FETCH_RESULTS
-from ..synth import WebConfig, page_outcome, page_spans
+from ..synth import WebConfig, page_content_type, page_outcome, page_spans
 
 
 # longest-match Allow/Disallow + HTTP status rules; rules dicts come
@@ -138,6 +138,7 @@ def fetch(
         redirs: list = [None] * n
         protos = [""] * n
         spans_out: list = [None] * n
+        metas = pdf["metadata"].to_list()
 
         robots_all = robots_bc.value
         host_info: dict[str, tuple] = {}
@@ -208,6 +209,12 @@ def fetch(
                 statuses[i] = STATUS_FETCH_SUCCESS
                 protos[i] = "success"
                 spans_out[i] = page_spans(web, u)
+                # ≙ Content metadata Content-Type reaching the datum
+                # (CrawlDbReducer merges fetch metadata); feeds the
+                # MimeAdaptive schedule
+                md = dict(metas[i]) if metas[i] else {}
+                md["Content-Type"] = page_content_type(web, u)
+                metas[i] = md
             elif kind == "retry":
                 statuses[i] = STATUS_FETCH_RETRY
                 protos[i] = "exception"
@@ -231,7 +238,7 @@ def fetch(
                 "redirect_to": pd.Series(redirs, dtype="object", index=pdf.index),
                 "protocol_status": pd.Series(protos, dtype="object", index=pdf.index),
                 "spans": pd.Series(spans_out, dtype="object", index=pdf.index),
-                "metadata": pdf["metadata"],
+                "metadata": pd.Series(metas, dtype="object", index=pdf.index),
                 "segment": pdf["segment"],
             }
         )

@@ -126,6 +126,18 @@ def page_outlinks(cfg: WebConfig, url: str) -> list[str]:
     return out
 
 
+def page_content_type(cfg: WebConfig, url: str) -> str:
+    """Deterministic Content-Type per page: mostly text/html with a
+    pdf/xhtml tail — gives MimeAdaptiveFetchSchedule real per-MIME
+    input in e2e crawls."""
+    r = _h(cfg, "ctype", url) % 10
+    if r == 0:
+        return "application/pdf; version=1.7"
+    if r == 1:
+        return "application/xhtml+xml"
+    return "text/html"
+
+
 def content_id(cfg: WebConfig, url: str) -> int:
     """Duplicate-content class (dup_classes>0 ⇒ collisions)."""
     base = _h(cfg, "content", url)

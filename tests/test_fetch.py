@@ -280,3 +280,19 @@ def test_fetch_time_limit_drops_queue_tail(spark):
     assert max(r.fetch_time for r in res) <= T0 + 10_000
     # no limit: all 4 fetched
     assert len(fetch(fl, robots_map(cfg), cfg, T0).collect()) == 4
+
+
+def test_fetch_emits_content_type(spark):
+    """Successful fetches carry a deterministic Content-Type in their
+    metadata (feeds MimeAdaptiveFetchSchedule e2e)."""
+    from nutch_spark.synth import page_content_type
+
+    cfg = WebConfig(n_hosts=2, pages_per_host=5, zipf=False,
+                    gone_frac=0, redir_frac=0)
+    urls = [page_url(cfg, h, i) for h in range(2) for i in range(5)]
+    fl = make_fetchlist(spark, cfg, urls)
+    res = fetch(fl, robots_map(cfg), cfg, T0).collect()
+    oks = [r for r in res if r.protocol_status == "success"]
+    assert oks
+    for r in oks:
+        assert r.metadata["Content-Type"] == page_content_type(cfg, r.url)
