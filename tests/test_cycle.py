@@ -214,3 +214,57 @@ def test_crawler_with_plugin_surface(spark, tmp_path):
     assert rounds[0]["fetched"] > 0
     fr = store.read(spark, "frontier")
     assert fr.count() > 0
+
+
+def test_streaming_frontier_ingestion(spark, tmp_path):
+    """Structured Streaming updatedb: fetch-result parquet batches
+    landing in a directory fold into the frontier exactly like the
+    batch merge of their union at the same clocks."""
+    from nutch_spark.operators.fetch import fetch
+    from nutch_spark.operators.generate import generate
+    from nutch_spark.operators.parse import parse
+    from nutch_spark.streaming import stream_updatedb
+    from nutch_spark.synth import WebConfig, robots_rows, seeds_df
+
+    web = WebConfig(n_hosts=3, pages_per_host=4, zipf=False, gone_frac=0,
+                    redir_frac=0)
+    robots = {r["host"]: r for r in robots_rows(web)}
+    fr0 = inject(spark, None, seeds_df(spark, web), T0).localCheckpoint()
+
+    # two fetch batches; the streaming merge derives its clock from
+    # each batch (max fetch_time), so the expected chain uses the same
+    fl1 = generate(fr0, T0 + 1, "s1", top_n=100)
+    res1 = fetch(fl1, robots, web, T0 + 1).localCheckpoint()
+    now1 = res1.agg(F.max("fetch_time")).collect()[0][0]
+    fr1 = updatedb(spark, fr0, res1, parse(res1)[1].localCheckpoint(),
+                   now1).localCheckpoint()
+    fl2 = generate(fr1, T0 + 2, "s2", top_n=100)
+    res2 = fetch(fl2, robots, web, T0 + 2).localCheckpoint()
+    now2 = res2.agg(F.max("fetch_time")).collect()[0][0]
+    expected = updatedb(spark, fr1, res2, parse(res2)[1].localCheckpoint(),
+                        now2).localCheckpoint()
+
+    # streaming run: seed frontier in a store, then drop the batches
+    from nutch_spark.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "w"))
+    store.write(fr0, "frontier")
+    incoming = str(tmp_path / "incoming")
+    res1.coalesce(1).write.mode("append").parquet(incoming)
+    q = stream_updatedb(spark, store, incoming,
+                        str(tmp_path / "ckpt"),
+                        max_files_per_trigger=1)
+    q.awaitTermination(120)
+    res2.coalesce(1).write.mode("append").parquet(incoming)
+    q2 = stream_updatedb(spark, store, incoming,
+                         str(tmp_path / "ckpt"),
+                         max_files_per_trigger=1)
+    q2.awaitTermination(120)
+
+    got = store.read(spark, "frontier")
+    flat = lambda df: df.select(
+        "url", "status", "fetch_time", "retries", "fetch_interval",
+        F.round(F.col("score").cast("double"), 4).alias("score"), "signature",
+    )
+    assert flat(got).exceptAll(flat(expected)).count() == 0
+    assert flat(expected).exceptAll(flat(got)).count() == 0
