@@ -57,6 +57,7 @@ def generate(
     num_fetch_partitions: int | None = None,
     hooks: ScoringHooks = OPIC,
     url_filters=None,  # functions.urlplugins.FilterChain | None
+    add_days: int = 0,  # Generator -adddays: advance the due clock
 ) -> DataFrame:
     """Return the fetchlist DataFrame (frontier cols + segment).
 
@@ -80,12 +81,14 @@ def generate(
     ).cast("long")
     df = df.filter(ngt.isNull() | (ngt < F.lit(cur_time_ms - gen_delay_ms)))
 
-    # due filter + clamp
+    # due filter + clamp; -adddays shifts the due clock forward
+    # (Generator.java:746, 826-828: curTime += days · 86400000)
+    due_ms = cur_time_ms + add_days * 86_400_000
     df = df.filter(
-        should_fetch(F.col("fetch_time"), F.col("fetch_interval"), cur_time_ms, max_interval)
+        should_fetch(F.col("fetch_time"), F.col("fetch_interval"), due_ms, max_interval)
     ).withColumn(
         "fetch_interval",
-        clamped_interval(F.col("fetch_time"), F.col("fetch_interval"), cur_time_ms, max_interval),
+        clamped_interval(F.col("fetch_time"), F.col("fetch_interval"), due_ms, max_interval),
     )
 
     sort_val = hooks.generator_sort_value(F.col("score"))

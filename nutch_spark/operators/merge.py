@@ -25,10 +25,31 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def merge_crawldbs(frontiers: list[DataFrame]) -> DataFrame:
+def merge_crawldbs(
+    frontiers: list[DataFrame],
+    normalizers=None,  # functions.urlplugins.ScopedNormalizers | None
+    url_filters=None,  # functions.urlplugins.FilterChain | None
+) -> DataFrame:
     """Latest-fetch_time row per URL wins; metadata union with the
-    winner's (newer) entries overriding older ones."""
+    winner's (newer) entries overriding older ones.
+
+    With `normalizers` / `url_filters`, each input row's URL is first
+    re-normalized (crawldb scope) and filtered — the CrawlDbFilter
+    map pass (crawl/CrawlDbFilter.java:63-107): normalize may COLLAPSE
+    keys, in which case the normal latest-wins merge resolves the
+    duplicates; filtered-out URLs are dropped."""
     u = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frontiers)
+    if normalizers is not None:
+        u = (
+            normalizers.with_normalized(
+                u.withColumnRenamed("url", "_url_raw"), "_url_raw", "url",
+                scope="crawldb",
+            )
+            .drop("_url_raw")
+            .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+        )
+    if url_filters is not None:
+        u = u.filter(url_filters.udf()(F.col("url")))
     w = Window.partitionBy("url").orderBy(
         F.desc("fetch_time"), F.desc("score"), F.asc("status")
     )

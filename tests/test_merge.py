@@ -66,3 +66,49 @@ def test_merge_segments_latest_generation_and_slicing(spark):
     # slices: deterministic url_hash order, 2 per slice
     slices = [r.slice for r in sorted(out, key=lambda r: r.url_hash)]
     assert slices == [0, 0, 1, 1, 2, 2]
+
+
+def test_merge_crawldb_filter_and_renormalize(spark):
+    """CrawlDbFilter pass inside the merge: re-normalization collapses
+    key variants (latest wins) and the filter chain drops rows
+    (crawl/CrawlDbFilter.java:63-107)."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.urlplugins import (
+        DomainFilter,
+        FilterChain,
+        RegexNormalizer,
+        ScopedNormalizers,
+    )
+    from nutch_spark.functions.urls import normalize_url
+    from nutch_spark.operators.merge import merge_crawldbs
+
+    a = spark.createDataFrame(
+        [fr_row("http://h.example.com/p;jsessionid=x", fetch_time=100),
+         fr_row("http://drop.other.net/q", fetch_time=50)],
+        FRONTIER,
+    )
+    b = spark.createDataFrame(
+        [fr_row("http://h.example.com/p", fetch_time=200, score=7.0)],
+        FRONTIER,
+    )
+    sn = ScopedNormalizers()
+    sn.set_chain("crawldb", [RegexNormalizer(), normalize_url])
+    chain = FilterChain([DomainFilter(["example.com"])])
+    out = merge_crawldbs([a, b], normalizers=sn, url_filters=chain).collect()
+    assert len(out) == 1  # session-id variant collapsed; other.net dropped
+    row = out[0]
+    assert row.url == "http://h.example.com/p"
+    assert row.fetch_time == 200 and row.score == 7.0
+
+
+def test_generate_adddays(spark, t0):
+    """Generator -adddays advances the due clock by N days."""
+    from nutch_spark.operators.generate import generate
+
+    future = t0 + 2 * 86_400_000  # due in 2 days
+    fr = spark.createDataFrame(
+        [fr_row("http://h.example.com/a", fetch_time=future)], FRONTIER
+    )
+    assert generate(fr, t0, "s", top_n=10).count() == 0
+    assert generate(fr, t0, "s", top_n=10, add_days=3).count() == 1
