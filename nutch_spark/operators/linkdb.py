@@ -66,9 +66,18 @@ def invert_links(
     )
 
 
-def merge_linkdbs(a: DataFrame, b: DataFrame, max_inlinks: int = Defaults.MAX_INLINKS) -> DataFrame:
-    """LinkDbMerger: union, flatten, dedup, re-cap."""
+def merge_linkdbs(
+    a: DataFrame,
+    b: DataFrame,
+    max_inlinks: int = Defaults.MAX_INLINKS,
+    url_filters=None,  # functions.urlplugins.FilterChain | None
+) -> DataFrame:
+    """LinkDbMerger: union, flatten, dedup, re-cap. With `url_filters`,
+    target URLs failing the chain are dropped — the LinkDbFilter map
+    pass (crawl/LinkDbFilter.java) that -filter merges run."""
     u = a.unionByName(b)
+    if url_filters is not None:
+        u = u.filter(url_filters.udf()(F.col("url")))
     flat = u.select("url", F.explode("inlinks").alias("i")).select(
         "url", F.col("i.from_url").alias("from_url"), F.col("i.anchor").alias("anchor")
     ).distinct()

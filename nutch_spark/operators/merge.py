@@ -89,11 +89,16 @@ def merge_crawldbs(
 def merge_segments(
     segments: list[DataFrame],
     slice_size: int | None = None,
+    url_filters=None,  # functions.urlplugins.FilterChain | None
 ) -> DataFrame:
     """Per-URL latest row across segments; optional slicing adds a
     `slice` column (row_number div slice_size — SegmentMerger's
-    sliceSize semantics, deterministic by url_hash order)."""
+    sliceSize semantics, deterministic by url_hash order). With
+    `url_filters`, rows failing the chain are dropped (SegmentMerger
+    -filter, segment/SegmentMerger.java)."""
     u = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), segments)
+    if url_filters is not None:
+        u = u.filter(url_filters.udf()(F.col("url")))
     w = Window.partitionBy("url").orderBy(
         F.desc("fetch_time"), F.desc("segment")
     )

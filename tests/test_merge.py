@@ -112,3 +112,32 @@ def test_generate_adddays(spark, t0):
     )
     assert generate(fr, t0, "s", top_n=10).count() == 0
     assert generate(fr, t0, "s", top_n=10, add_days=3).count() == 1
+
+
+def test_merge_filters_linkdb_and_segments(spark):
+    """-filter option on LinkDbMerger and SegmentMerger drops rows
+    failing the chain (LinkDbFilter.java; SegmentMerger.java)."""
+    from pyspark.sql import Row
+
+    from nutch_spark.functions.urlplugins import DomainFilter, FilterChain
+    from nutch_spark.operators.linkdb import merge_linkdbs
+    from nutch_spark.operators.merge import merge_segments
+
+    chain = FilterChain([DomainFilter(["example.com"])])
+    ldb = spark.createDataFrame(
+        [Row(url="http://a.example.com/x",
+             inlinks=[Row(from_url="http://s/", anchor="a")]),
+         Row(url="http://b.other.net/y",
+             inlinks=[Row(from_url="http://s/", anchor="b")])]
+    )
+    merged = merge_linkdbs(ldb, ldb, url_filters=chain)
+    assert [r.url for r in merged.collect()] == ["http://a.example.com/x"]
+
+    seg = spark.createDataFrame(
+        [Row(url="http://a.example.com/x", url_hash=1, status=33,
+             fetch_time=1, segment="s"),
+         Row(url="http://b.other.net/y", url_hash=2, status=33,
+             fetch_time=1, segment="s")]
+    )
+    out = merge_segments([seg], url_filters=chain)
+    assert [r.url for r in out.collect()] == ["http://a.example.com/x"]

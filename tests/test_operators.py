@@ -610,3 +610,31 @@ def test_score_updater_and_webgraph_dumps(spark):
     }
     got = linkdb_get(ldb, "http://t/x").collect()
     assert len(got) == 2
+
+
+def test_pyfiles_zip_importable(tmp_path):
+    """The --py-files archive contains the full package and is
+    importable from the zip alone (spark-submit deploy shape)."""
+    import subprocess
+    import sys
+    import zipfile
+
+    from nutch_spark.package import make_pyfiles_zip
+
+    z = make_pyfiles_zip(str(tmp_path / "nutch_spark.zip"))
+    names = zipfile.ZipFile(z).namelist()
+    assert "nutch_spark/operators/updatedb.py" in names
+    assert "nutch_spark/pipeline/dedup_docs.py" in names
+    assert not any("__pycache__" in n for n in names)
+    # import from the zip in a clean interpreter (no repo on sys.path)
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import nutch_spark.constants as c; "
+        "import nutch_spark.functions.urls as u; "
+        "print(u.normalize_url('HTTP://X.com/a//b'))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, z],
+        capture_output=True, text=True, cwd=str(tmp_path),
+    )
+    assert out.stdout.strip() == "http://x.com/a/b", out.stderr
