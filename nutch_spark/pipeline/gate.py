@@ -351,6 +351,103 @@ FROM shl
 # similarity search
 # ---------------------------------------------------------------------
 
+VEC_CORPUS_SQL_DUCK = """
+  SELECT vec_id, list_transform(embedding, x -> cast(x as double))
+           AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding, x -> cast(x as double)) AS embedding
+  FROM embeddings WHERE vec_id % 4 = 0
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id,
+         list_transform(embedding,
+                        x -> cast(x as double) + cast(0.01 as double))
+           AS embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+
+def vec_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived vector dup-corpus, mirroring CORPUS_SQL for embeddings:
+    exact duplicates (vec_id+100000, cosine = 1.0) and near-duplicates
+    (vec_id+200000, each component +0.01 → cosine ≈ 0.99+); background
+    pair similarity tops out ≈ 0.52, so a 0.9 threshold is unambiguous.
+    All arithmetic is float→double then +0.01 — IEEE-identical to the
+    DuckDB derivation above."""
+    _views(spark, sf_dir, ["embeddings"])
+    e = spark.table("embeddings")
+    as_dbl = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", as_dbl.alias("embedding"))
+    exact = e.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), as_dbl.alias("embedding")
+    )
+    near = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform(as_dbl, lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return base.unionByName(exact).unionByName(near).repartition(n)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP bit-band blocking +
+    candidate-only cosine verify — the vector-column member of the
+    dedup family (exact / Jaccard / MinHash-LSH / SimHash / this)."""
+    from .similarity import embedding_dup_pairs
+
+    out = embedding_dup_pairs(vec_corpus_df(spark, sf_dir), threshold=0.9)
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("sim").cast("double").alias("sim"),
+    )
+
+
+def _srp_sgn_values(bits: int = 16, dim: int = 64) -> str:
+    """The SRP sign table inlined as SQL VALUES rows — generated from
+    the SAME srp_signs() constants the Spark operator uses, so the two
+    engines cannot drift."""
+    from .similarity import srp_signs
+
+    return ", ".join(
+        f"({i}, [{', '.join(map(str, row))}])"
+        for i, row in enumerate(srp_signs(bits, dim))
+    )
+
+
+ORACLE_DEDUP_EMBEDDING = f"""
+WITH vcorpus AS ({VEC_CORPUS_SQL_DUCK}),
+q AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> cast(floor(x * 1000.0) as bigint)) AS v
+      FROM vcorpus),
+n AS (SELECT vec_id, v,
+             cast(list_sum(list_transform(v, y -> y * y)) as double) AS nn
+      FROM q),
+sgn(i, sg) AS (VALUES {_srp_sgn_values()}),
+proj AS (SELECT n.vec_id, s.i, list_dot_product(n.v, s.sg) AS pr
+         FROM n, sgn s),
+fp AS (SELECT vec_id,
+              cast(sum(CASE WHEN pr > 0 THEN 1 << i ELSE 0 END) as bigint)
+                AS f
+       FROM proj GROUP BY vec_id),
+bands AS (SELECT vec_id, b AS bidx, (f >> (4 * b)) & 15 AS bv
+          FROM fp, range(0, 4) t(b)),
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM bands x JOIN bands y
+           ON x.bidx = y.bidx AND x.bv = y.bv AND x.vec_id < y.vec_id),
+sims AS (SELECT cand.a, cand.b,
+                list_dot_product(na.v, nb.v) / (sqrt(na.nn) * sqrt(nb.nn))
+                  AS sim
+         FROM cand
+         JOIN n na ON na.vec_id = cand.a
+         JOIN n nb ON nb.vec_id = cand.b)
+SELECT cast(a as bigint) AS a, cast(b as bigint) AS b, sim
+FROM sims WHERE sim >= 0.9
+"""
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # knn_blocked: distributed block-matrix exact kNN — no driver
     # collect/broadcast of the corpus (knn_numpy is the small-probe
@@ -588,6 +685,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH),
     "dedup_simhash": (q_simhash_sig, ORACLE_SIMHASH_SIG),
     "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
+    "dedup_embedding": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
     "text_token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "text_langid": (q_langid, ORACLE_LANGID),

@@ -239,6 +239,135 @@ def knn_blocked(
     )
 
 
+def srp_signs(bits: int = 16, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 random-hyperplane table: sign(i, d) = +1 iff
+    the first hex nibble of md5("i|d") is odd. Pure constants (data-
+    independent), identical in any engine/language — the oracle SQL
+    inlines the same table, so there is no RNG to keep in sync."""
+    import hashlib  # noqa: PLC0415
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{i}|{d}".encode()).hexdigest()[0], 16) & 1
+            else -1
+            for d in range(dim)
+        ]
+        for i in range(bits)
+    ]
+
+
+def srp_fingerprint(
+    emb: DataFrame,
+    bits: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection fingerprint over the QUANTIZED vectors:
+    bit i = 1 iff Σ_d sign(i,d)·v[d] > 0 (exact integer sums, strict
+    inequality — ties land on 0 identically everywhere). Angle-
+    preserving: P[bit differs] = angle/π, so near-parallel vectors
+    share almost all bits. A per-row array program — no shuffle."""
+    q = _prep(emb, id_col, vec_col)
+    signs = srp_signs(bits, dim)
+    fp = None
+    for i in range(bits):
+        sg = F.array(*[F.lit(s) for s in signs[i]])
+        proj = F.aggregate(
+            F.zip_with(F.col("v"), sg, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return q.withColumn("srp", fp.cast("long"))
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 16,
+    n_bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥
+    threshold) — the dedup-family member for vector columns.
+
+    Scale shape (same as the MinHash-LSH and SimHash paths): candidate
+    generation is an equi-join on (band_idx, band_value) buckets of the
+    SRP fingerprint — never an all-pairs scan — and the exact cosine is
+    verified ONLY on bucket collisions, by joining the (small) candidate
+    pair set back to the vector table twice. Cost scales with bucket
+    collisions; a hot bucket (a big dup cluster) splits under AQE
+    skew-join. Banding is the standard LSH trade: a qualifying pair is
+    found iff it agrees exactly on ≥ 1 of the `n_bands` bit-bands
+    (near-parallel vectors agree on almost all bits, so recall at
+    cosine ≥ 0.9 is ~1; the brute-force twin below is the recall
+    audit). The oracle replays the same sign table + banding, so the
+    gate checks the algorithm exactly, not a looser superset."""
+    f = srp_fingerprint(emb, bits, dim, id_col, vec_col)
+    base_w, extra = divmod(bits, n_bands)
+    bands = []
+    lo = 0
+    for i in range(n_bands):
+        width = base_w + (1 if i < extra else 0)
+        mask = (1 << width) - 1
+        bands.append(
+            F.struct(
+                F.lit(i).alias("bidx"),
+                F.shiftrightunsigned(F.col("srp"), lo)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+        )
+        lo += width
+    e = f.select("id", F.explode(F.array(*bands)).alias("band")).select(
+        "id", F.col("band.bidx").alias("bidx"), F.col("band.bv").alias("bv")
+    )
+    ca = e.select(F.col("id").alias("a"), "bidx", "bv")
+    cb = e.select(F.col("id").alias("b"), "bidx", "bv")
+    cand = (
+        ca.join(cb, ["bidx", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = f.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("nn").alias("na"))
+    vb = f.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nn").alias("nb"))
+    j = cand.join(va, "a").join(vb, "b")
+    sim = _cosine(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    return (
+        j.select("a", "b", sim.alias("sim"))
+        .filter(F.col("sim") >= F.lit(float(threshold)))
+    )
+
+
+def embedding_dup_pairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force twin of `embedding_dup_pairs` (all-pairs cosine ≥
+    threshold) — O(n²) verification baseline / recall audit only."""
+    q = _prep(emb, id_col, vec_col)
+    a = q.select(
+        F.col("id").alias("a"), F.col("v").alias("va"), F.col("nn").alias("na")
+    )
+    b = q.select(
+        F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nn").alias("nb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    sim = _cosine(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    return (
+        pairs.select("a", "b", sim.alias("sim"))
+        .filter(F.col("sim") >= F.lit(float(threshold)))
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_pivots: int = 16,

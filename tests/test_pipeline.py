@@ -330,3 +330,59 @@ def test_kmeans_pivots_deterministic(spark):
         for r in kmeans_pivots(emb.repartition(7), 2, 2).collect()
     }
     assert a == b  # bit-identical across partitionings
+
+
+def dup_emb_df(spark):
+    """Base vectors + one exact copy (id 10 ≡ 0) and one near copy
+    (id 11 ≈ 1, each component +0.01): planted positives for the
+    embedding-cosine dedup operator."""
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.2, -0.3, 0.5]),
+        Row(vec_id=1, embedding=[-0.4, 0.9, 0.1, -0.2]),
+        Row(vec_id=2, embedding=[0.1, -0.8, 0.6, 0.3]),
+        Row(vec_id=3, embedding=[0.7, 0.7, -0.1, -0.6]),
+        Row(vec_id=10, embedding=[1.0, 0.2, -0.3, 0.5]),
+        Row(vec_id=11, embedding=[-0.39, 0.91, 0.11, -0.19]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_embedding_dup_pairs_matches_brute_force(spark):
+    """SRP bit-band blocking finds the same ≥-threshold pairs as the
+    all-pairs scan on this fixture, and never a pair the brute force
+    rejects (the cosine verify runs on candidates only)."""
+    from nutch_spark.pipeline.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_exact,
+    )
+
+    emb = dup_emb_df(spark)
+    banded = {
+        (r.a, r.b): r.sim
+        for r in embedding_dup_pairs(
+            emb, threshold=0.9, bits=16, n_bands=4, dim=4
+        ).collect()
+    }
+    brute = {
+        (r.a, r.b): r.sim
+        for r in embedding_dup_pairs_exact(emb, threshold=0.9).collect()
+    }
+    assert set(banded) <= set(brute)  # verify kills bucket false hits
+    # exact dup: sim = dot/(sqrt(n)·sqrt(n)) ≈ 1 (one-ulp sqrt rounding)
+    assert (0, 10) in banded and banded[(0, 10)] > 0.999999
+    assert (1, 11) in banded  # near dup survives banding
+    assert banded == brute  # full recall on this fixture
+    assert all(sim >= 0.9 for sim in banded.values())
+
+
+def test_srp_fingerprint_partitioning_invariant(spark):
+    from nutch_spark.pipeline.similarity import srp_fingerprint
+
+    emb = dup_emb_df(spark)
+    a = {r.id: r.srp for r in srp_fingerprint(emb, 16, 4).collect()}
+    b = {
+        r.id: r.srp
+        for r in srp_fingerprint(emb.repartition(5), 16, 4).collect()
+    }
+    assert a == b
+    assert a[0] == a[10]  # identical vectors ⇒ identical fingerprint
