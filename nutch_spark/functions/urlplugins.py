@@ -27,6 +27,18 @@ Re-expressed from the reference's plugin semantics (not code):
     blacklist variant (urlfilter-domainblacklist) inverts the verdict.
   * ValidatorURLFilter — plugin urlfilter-validator: syntactic URL
     validation (scheme, authority labels, legal characters).
+  * AjaxURLNormalizer — plugin urlnormalizer-ajax: #! ↔
+    _escaped_fragment_= rewrites (AjaxURLNormalizer.java:58-219).
+  * ProtocolURLNormalizer — plugin urlnormalizer-protocol: per-host
+    protocol forcing (ProtocolURLNormalizer.java:98-130).
+  * QuerystringURLNormalizer — plugin urlnormalizer-querystring:
+    query-parameter sort (QuerystringURLNormalizer.java:44-76).
+  * SlashURLNormalizer — plugin urlnormalizer-slash: per-host
+    trailing-slash policy (SlashURLNormalizer.java:104-170).
+  * PassURLNormalizer — plugin urlnormalizer-pass: identity.
+  * Regex/automaton rule filter — plugins urlfilter-regex and
+    urlfilter-automaton share the ±ordered-rule grammar
+    (RegexURLFilterBase.java:245-272), exposed as RegexRuleFilter.
   * URL exemption — net/URLExemptionFilters.java + plugin
     urlfilter-ignoreexempt: URLs matching exemption rules bypass the
     ignore-external restriction (used from ParseOutputFormat.java:356-358);
@@ -140,6 +152,202 @@ class HostNormalizer:
             if dom in self.wildcard:
                 return scheme + self.wildcard[dom] + rest
         return url
+
+
+# ---------------------------------------------------------------------
+# ajax / protocol / querystring / slash / pass normalizers
+# ---------------------------------------------------------------------
+
+_URL_PARTS_RE = re.compile(
+    r"\A([a-z][a-z0-9+.\-]*)://([^/:?#]+)(:\d+)?([^?#]*)(?:\?([^#]*))?"
+    r"(?:#(.*))?\Z",
+    re.I | re.S,
+)
+
+
+def _split_url(url: str):
+    """(scheme, host, port-with-colon|'', path, query|None, ref|None) —
+    the java.net.URL accessor set the reference normalizers use."""
+    m = _URL_PARTS_RE.match(url)
+    if not m:
+        return None
+    scheme, host, port, path, query, ref = m.groups()
+    return scheme, host, port or "", path, query, ref
+
+
+AJAX_URL_PART = "#!"
+ESCAPED_URL_PART = "_escaped_fragment_="
+
+
+class AjaxNormalizer:
+    """AJAX-crawling-scheme rewrite (urlnormalizer-ajax,
+    AjaxURLNormalizer.java:58-146): `#!fragment` becomes the crawlable
+    `?_escaped_fragment_=fragment` form; in the INDEXER scope the
+    escaped form is folded back to `#!`. The reference switches on the
+    scope string — here register `AjaxNormalizer(indexer=True)` on the
+    indexer chain and the default instance elsewhere."""
+
+    def __init__(self, indexer: bool = False):
+        self.indexer = indexer
+
+    def __call__(self, url: str | None) -> str | None:
+        if url is None:
+            return None
+        if self.indexer and ESCAPED_URL_PART in url:
+            return self._escaped_to_hashed(url)
+        if AJAX_URL_PART in url:
+            return self._hashed_to_escaped(url)
+        return url
+
+    @staticmethod
+    def _escape(frag: str) -> str:
+        # AjaxURLNormalizer.escape (java:191-219): UTF-8 bytes < 33 and
+        # the four chars #%&+ become %XX (uppercase); all else literal
+        out = []
+        for b in frag.encode("utf-8"):
+            if b < 33 or b in (0x23, 0x25, 0x26, 0x2B):
+                out.append(f"%{b:02X}")
+            else:
+                out.append(chr(b))
+        return "".join(out)
+
+    @classmethod
+    def _hashed_to_escaped(cls, url: str) -> str:
+        parts = _split_url(url)
+        pos = url.index(AJAX_URL_PART)
+        frag = cls._escape(url[pos + len(AJAX_URL_PART):])
+        sep = "?" if parts is None or parts[4] is None else "&"
+        return url[:pos] + sep + ESCAPED_URL_PART + frag
+
+    @staticmethod
+    def _escaped_to_hashed(url: str) -> str:
+        from urllib.parse import unquote_plus  # noqa: PLC0415
+
+        parts = _split_url(url)
+        if parts is None or parts[4] is None:
+            return url
+        scheme, host, port, path, query, _ref = parts
+        # the reference treats everything after the FIRST '&' as the
+        # escaped pair (AjaxURLNormalizer.java:123-136) — kept as-is
+        amp = query.find("&")
+        if amp == -1:
+            kv, query = query, ""
+        else:
+            kv, query = query[amp + 1:], query[:amp]
+        kv = kv.replace(ESCAPED_URL_PART, "", 1)
+        out = f"{scheme}://{host}{port}{path}"
+        if query:
+            out += "?" + query
+        return out + AJAX_URL_PART + unquote_plus(kv)
+
+
+class ProtocolNormalizer:
+    """Force a per-host protocol (urlnormalizer-protocol,
+    ProtocolURLNormalizer.java:98-130). Rules: `host protocol` lines.
+    Faithful to the reference rebuild, which drops port and fragment."""
+
+    def __init__(self, protocols: dict[str, str]):
+        self.protocols = {k.lower(): v for k, v in protocols.items()}
+
+    @classmethod
+    def from_rules(cls, text: str) -> "ProtocolNormalizer":
+        rules: dict[str, str] = {}
+        for line in text.splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(None, 1)
+            if len(parts) == 2:
+                rules[parts[0]] = parts[1].strip()
+        return cls(rules)
+
+    def __call__(self, url: str | None) -> str | None:
+        if url is None:
+            return None
+        parts = _split_url(url)
+        if parts is None:
+            return url
+        scheme, host, _port, path, query, _ref = parts
+        want = self.protocols.get(host.lower())
+        if want is None or want == scheme:
+            return url
+        out = f"{want}://{host}{path}"
+        if query is not None:
+            out += "?" + query
+        return out
+
+
+class QuerystringNormalizer:
+    """Sort query-string parameters so permutations collapse to one URL
+    (urlnormalizer-querystring, QuerystringURLNormalizer.java:44-76)."""
+
+    def __call__(self, url: str | None) -> str | None:
+        if url is None:
+            return None
+        parts = _split_url(url)
+        if parts is None or parts[4] is None:
+            return url
+        scheme, host, port, path, query, ref = parts
+        out = f"{scheme}://{host}{port}{path}?" + "&".join(
+            sorted(query.split("&"))
+        )
+        if ref is not None:
+            out += "#" + ref
+        return out
+
+
+class SlashNormalizer:
+    """Per-host trailing-slash policy (urlnormalizer-slash,
+    SlashURLNormalizer.java:104-170). Rules: `host +` (require slash) /
+    `host -` (strip slash). Root paths are untouched; a slash is only
+    ADDED when the path's last 5 chars carry no .ext suffix. Faithful
+    rebuild (port and fragment dropped, as in the reference)."""
+
+    def __init__(self, rules: dict[str, bool]):
+        self.rules = {k.lower(): v for k, v in rules.items()}
+
+    @classmethod
+    def from_rules(cls, text: str) -> "SlashNormalizer":
+        rules: dict[str, bool] = {}
+        for line in text.splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(None, 1)
+            if len(parts) == 2:
+                rules[parts[0]] = parts[1].strip() == "+"
+        return cls(rules)
+
+    def __call__(self, url: str | None) -> str | None:
+        if url is None:
+            return None
+        parts = _split_url(url)
+        if parts is None:
+            return url
+        scheme, host, _port, path, query, _ref = parts
+        rule = self.rules.get(host.lower())
+        if rule is None or len(path) <= 1:
+            return url
+        trailing = path.endswith("/")
+        if rule and not trailing:
+            dot = path.rfind(".")
+            if len(path) < 6 or dot == -1 or dot < len(path) - 6:
+                path = path + "/"
+            else:
+                return url
+        elif not rule and trailing:
+            path = path[: path.rfind("/")]
+        else:
+            return url
+        out = f"{scheme}://{host}{path}"
+        if query is not None:
+            out += "?" + query
+        return out
+
+
+def pass_normalizer(url: str | None) -> str | None:
+    """urlnormalizer-pass: the identity chain element."""
+    return url
 
 
 # ---------------------------------------------------------------------
@@ -344,6 +552,40 @@ class ValidatorFilter:
 
     def __call__(self, url: str | None) -> bool:
         return url is not None and _VALID_URL_RE.match(url) is not None
+
+
+class RegexRuleFilter:
+    """Ordered `+regex` / `-regex` rule list — the shared grammar of
+    urlfilter-regex and urlfilter-automaton (lib-regex-filter,
+    RegexURLFilterBase.java:245-272): the FIRST rule whose pattern
+    matches (java.util.regex `find` semantics) decides accept(+)/
+    reject(-); a URL matching no rule is rejected. The automaton
+    plugin runs the same truth table over dk.brics DFAs — a strict
+    regex subset (no backreferences/lookaround), so any automaton rule
+    file is also a valid input here; `python -c "import re"` patterns
+    are the superset."""
+
+    def __init__(self, rules: list[tuple[bool, str]]):
+        self._rules = [(sign, re.compile(p)) for sign, p in rules]
+
+    @classmethod
+    def from_rules(cls, text: str) -> "RegexRuleFilter":
+        rules: list[tuple[bool, str]] = []
+        for raw in text.splitlines():
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            if line[0] in "+-":
+                rules.append((line[0] == "+", line[1:]))
+        return cls(rules)
+
+    def __call__(self, url: str | None) -> bool:
+        if url is None:
+            return False
+        for sign, pat in self._rules:
+            if pat.search(url):
+                return sign
+        return False
 
 
 class FilterChain:

@@ -254,3 +254,148 @@ def test_filter_chain_live_in_parse_and_inject(spark):
     )
     fr = inject(spark, None, seeds, 1_700_000_000_000, url_filters=chain)
     assert [r.url for r in fr.collect()] == ["http://s.example.com/x"]
+
+
+# --- ajax / protocol / querystring / slash / pass normalizers + rule filter
+
+
+def test_ajax_normalizer_goldens():
+    """TestAjaxURLNormalizer cases verbatim."""
+    from nutch_spark.functions.urlplugins import AjaxNormalizer
+
+    n = AjaxNormalizer()
+    assert (
+        n("http://example.org/#!k=v")
+        == "http://example.org/?_escaped_fragment_=k=v"
+    )
+    assert (
+        n("http://example.org/#!k=v&something=is wrong")
+        == "http://example.org/?_escaped_fragment_=k=v%26something=is%20wrong"
+    )
+    assert (
+        n("http://example.org/path.html?queryparam=queryvalue#!key1=value1&key2=value2")
+        == "http://example.org/path.html?queryparam=queryvalue"
+        "&_escaped_fragment_=key1=value1%26key2=value2"
+    )
+    ix = AjaxNormalizer(indexer=True)
+    assert (
+        ix("http://example.org/?_escaped_fragment_=key=value")
+        == "http://example.org/#!key=value"
+    )
+    assert (
+        ix("http://example.org/?key=value&_escaped_fragment_=key=value")
+        == "http://example.org/?key=value#!key=value"
+    )
+    assert (
+        ix("http://example.org/page.html?key=value&_escaped_fragment_=key=value%26something=is%20wrong")
+        == "http://example.org/page.html?key=value#!key=value&something=is wrong"
+    )
+    # no ajax markers → verbatim
+    assert n("http://example.org/plain") == "http://example.org/plain"
+
+
+def test_protocol_normalizer_goldens():
+    """TestProtocolURLNormalizer cases."""
+    from nutch_spark.functions.urlplugins import ProtocolNormalizer
+
+    n = ProtocolNormalizer.from_rules(
+        "example.org http\nexample.net http\n"
+        "example.io https\nexample.nl https\n# comment\n"
+    )
+    assert n("https://example.org/") == "http://example.org/"
+    assert n("https://example.net/") == "http://example.net/"
+    assert n("https://example.io/") == "https://example.io/"
+    assert n("http://example.nl/") == "https://example.nl/"
+    # unlisted host → verbatim; query survives the rebuild
+    assert n("https://other.com/x?a=1") == "https://other.com/x?a=1"
+    assert n("https://example.org/x?a=1") == "http://example.org/x?a=1"
+
+
+def test_querystring_normalizer_goldens():
+    """TestQuerystringURLNormalizer cases verbatim."""
+    from nutch_spark.functions.urlplugins import QuerystringNormalizer
+
+    n = QuerystringNormalizer()
+    assert n("http://example.com/?c=d&a=b") == "http://example.com/?a=b&c=d"
+    assert n("http://example.com/a/b/c") == "http://example.com/a/b/c"
+    assert n("http://example.com:1234/a/b/c") == "http://example.com:1234/a/b/c"
+    assert (
+        n("http://example.com:1234/a/b/c?c=d&a=b#ref")
+        == "http://example.com:1234/a/b/c?a=b&c=d#ref"
+    )
+    assert (
+        n("http://example.com/?a=c&c=d&a=b") == "http://example.com/?a=b&a=c&c=d"
+    )
+
+
+def test_slash_normalizer_goldens():
+    """TestSlashURLNormalizer cases."""
+    from nutch_spark.functions.urlplugins import SlashNormalizer
+
+    n = SlashNormalizer.from_rules(
+        "example.org +\nexample.net -\n"
+        "www.example.org +\nwww.example.net -\n"
+    )
+    assert n("http://example.org/") == "http://example.org/"   # root: no-op
+    assert n("http://example.net/") == "http://example.net/"
+    assert n("http://example.org") == "http://example.org"
+    assert (
+        n("http://www.example.org/page") == "http://www.example.org/page/"
+    )
+    assert (
+        n("http://www.example.net/path/to/something/")
+        == "http://www.example.net/path/to/something"
+    )
+    assert n("http://example.org/buh/") == "http://example.org/buh/"
+    assert n("http://example.net/blaat") == "http://example.net/blaat"
+    # unlisted hosts → verbatim
+    assert n("http://example.nl/buh/") == "http://example.nl/buh/"
+    assert n("http://example.de/blaat") == "http://example.de/blaat"
+    # extension suffix blocks slash ADDING only
+    assert (
+        n("http://example.org/page.html") == "http://example.org/page.html"
+    )
+    assert n("http://example.org/x?a=1") == "http://example.org/x/?a=1"
+
+
+def test_pass_normalizer_identity():
+    from nutch_spark.functions.urlplugins import pass_normalizer
+
+    assert pass_normalizer("http://x/?weird=yes") == "http://x/?weird=yes"
+    assert pass_normalizer(None) is None
+
+
+def test_regex_rule_filter_first_match_wins():
+    """RegexURLFilterBase truth table: first matching rule decides;
+    no match rejects (also the automaton plugin's semantics)."""
+    from nutch_spark.functions.urlplugins import RegexRuleFilter
+
+    f = RegexRuleFilter.from_rules(
+        "# comment\n"
+        "-\\.gif$\n"
+        "+^https?://([a-z0-9]+\\.)*example\\.com/\n"
+        "-.\n"
+    )
+    assert f("http://www.example.com/page") is True
+    assert f("http://www.example.com/img.gif") is False  # earlier - wins
+    assert f("http://other.org/") is False
+    assert f(None) is False
+    # empty rule list rejects everything
+    assert RegexRuleFilter([])("http://example.com/") is False
+
+
+def test_new_normalizers_compose_in_scoped_chain():
+    """The new plugins slot into ScopedNormalizers chains like any
+    other NormFn, and the chain loop reaches a fixed point."""
+    from nutch_spark.functions.urlplugins import (
+        AjaxNormalizer,
+        QuerystringNormalizer,
+    )
+
+    sn = ScopedNormalizers(loop_count=2)
+    sn.set_chain(
+        SCOPE_OUTLINK,
+        [AjaxNormalizer(), QuerystringNormalizer(), normalize_url],
+    )
+    out = sn.normalize("HTTP://Example.org/#!k=v", SCOPE_OUTLINK)
+    assert out == "http://example.org/?_escaped_fragment_=k=v"
