@@ -1748,6 +1748,252 @@ ORACLE_SCORE_UPDATE = _score_update_oracle()
 
 
 # ---------------------------------------------------------------------
+# index_plugins — IndexingFilter chain end-to-end
+# (index-basic/more/static/metadata/tld/subcollection/replace/
+#  mimetype-filter over the indexing join; indexplugins.py)
+# ---------------------------------------------------------------------
+
+# per-URL content metadata components (the simulated fetch's HTTP
+# response headers); shared text so DuckDB sees the identical values
+CONTENT_META_SQL = f"""
+SELECT
+  {_url('o_orderkey')} AS url,
+  case cast(o_orderkey % 4 as int)
+    when 0 then 'text/html; charset=utf-8'
+    when 1 then 'image/png'
+    when 2 then 'application/pdf'
+    else 'text/plain' end AS ctype,
+  case when o_orderkey % 3 = 0 then cast(o_orderkey * 10 as string) end
+    AS clen,
+  case when o_orderkey % 5 = 0 then 'Tue, 14 Nov 2023 22:13:20 GMT' end
+    AS lastmod,
+  case when o_orderkey % 7 = 0
+       then concat('team', cast(o_orderkey % 3 as string)) end AS team,
+  case when o_orderkey % 11 = 0 then 'NOINDEX,nofollow' end AS robots
+FROM orders
+"""
+
+
+def q_index_plugins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.index import index_documents
+    from .operators.indexplugins import (
+        BasicFields,
+        IndexingFilterChain,
+        MetadataFields,
+        MimeTypeFilter,
+        MoreFields,
+        ReplaceFields,
+        ReplaceRule,
+        StaticFields,
+        Subcollection,
+        SubcollectionFields,
+        TldField,
+    )
+
+    _views(spark, sf_dir, ["orders", "lineitem"])
+    fr = frontier_df(spark, sf_dir)
+    pd_ = spark.sql(PARSE_FOR_INDEX_SQL)
+    cm = spark.sql(CONTENT_META_SQL)
+    fetch_meta = cm.select(
+        "url",
+        F.create_map(
+            F.lit("Content-Type"), F.col("ctype"),
+            F.lit("Content-Length"), F.col("clen"),
+            F.lit("Last-Modified"), F.col("lastmod"),
+            F.lit("X-Team"), F.col("team"),
+        ).alias("metadata"),
+    )
+    docs = index_documents(
+        fr, pd_, None, fetch_results=fetch_meta, extended=True
+    )
+    chain = IndexingFilterChain(
+        [
+            BasicFields(add_domain=True, max_content_length=6),
+            MoreFields(),
+            TldField(),
+            StaticFields({"source": "crawl"}),
+            MetadataFields(content_md=["X-Team"]),
+            SubcollectionFields(
+                [
+                    Subcollection("news", whitelist=["/p/1"]),
+                    Subcollection(
+                        "evens",
+                        whitelist=["0", "2", "4", "6", "8"],
+                        blacklist=["/p/13"],
+                    ),
+                ]
+            ),
+            ReplaceFields(
+                [ReplaceRule("content", "^X-", "Y-", urlmatch="[02468]$")]
+            ),
+            MimeTypeFilter(["application/"]),
+        ]
+    )
+    out = chain(docs)
+    return out.select(
+        "url",
+        "doc_url",
+        "host",
+        "domain",
+        "tld",
+        "title",
+        "content",
+        F.col("tstamp").cast("long").alias("tstamp"),
+        "type",
+        "primary_type",
+        "sub_type",
+        "content_length",
+        F.col("last_modified").cast("long").alias("last_modified"),
+        F.col("date").cast("long").alias("date"),
+        F.col("boost").cast("double").alias("boost"),
+        "source",
+        F.col("x_team").alias("x_team"),
+        F.array_join("subcollection", ",").alias("subcoll"),
+    )
+
+
+ORACLE_INDEX_PLUGINS = f"""
+WITH frontier AS ({FRONTIER_SQL}),
+pd AS ({PARSE_FOR_INDEX_SQL}),
+cm AS ({CONTENT_META_SQL}),
+base AS (
+  SELECT f.url, f.host, f.score, f.fetch_time, f.modified_time,
+         pd.title, pd.text,
+         cm.ctype, cm.clen, cm.lastmod, cm.team,
+         lower(trim(split_part(cm.ctype, ';', 1))) AS mtype
+  FROM frontier f
+  JOIN pd ON f.url = pd.url
+  LEFT JOIN cm ON f.url = cm.url
+  WHERE f.status IN (2, 6)
+),
+fields AS (
+  SELECT url,
+    url AS doc_url,
+    host,
+    concat(split_part(host, '.', 2), '.', split_part(host, '.', 3))
+      AS domain,
+    split_part(host, '.', 3) AS tld,
+    title,
+    substr(text, 1, 6) AS content0,
+    fetch_time AS tstamp,
+    mtype AS type,
+    regexp_extract(mtype, '^[^/]*') AS primary_type,
+    case when contains(mtype, '/')
+         then regexp_extract(mtype, '[^/]*$') end AS sub_type,
+    case when length(trim(clen)) > 0 then trim(clen) end
+      AS content_length,
+    epoch_ms(strptime(lastmod, '%a, %d %b %Y %H:%M:%S GMT'))
+      AS last_modified,
+    coalesce(
+      epoch_ms(strptime(lastmod, '%a, %d %b %Y %H:%M:%S GMT')),
+      case when modified_time > 0 then modified_time end,
+      fetch_time) AS date,
+    cast(score as double) AS boost,
+    'crawl' AS source,
+    team AS x_team,
+    concat_ws(',',
+      case when contains(url, '/p/1') then 'news' end,
+      case when (contains(url, '0') OR contains(url, '2')
+              OR contains(url, '4') OR contains(url, '6')
+              OR contains(url, '8'))
+            AND NOT contains(url, '/p/13') then 'evens' end
+    ) AS subcoll
+  FROM base
+)
+SELECT url, doc_url, host, domain, tld, title,
+       case when url SIMILAR TO '.*[02468]'
+            then regexp_replace(content0, '^X-', 'Y-')
+            else content0 end AS content,
+       tstamp, type, primary_type, sub_type, content_length,
+       last_modified, date, boost, source, x_team, subcoll
+FROM fields
+WHERE type IS NULL OR type NOT LIKE 'application/%'
+"""
+
+
+# ---------------------------------------------------------------------
+# index_actions — IndexerMapReduce add/delete demux + robots noindex
+# ---------------------------------------------------------------------
+
+
+def q_index_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.index import index_actions
+
+    _views(spark, sf_dir, ["orders", "lineitem"])
+    fr = frontier_df(spark, sf_dir)
+    pd_ = spark.sql(PARSE_FOR_INDEX_SQL)
+    cm = spark.sql(CONTENT_META_SQL)
+    fetch = (
+        spark.sql(FETCH_SQL)
+        .join(cm.select("url", "ctype", "robots"), "url", "left")
+        .withColumn(
+            "metadata",
+            F.create_map(
+                F.lit("Content-Type"), F.col("ctype"),
+                F.lit("robots"), F.col("robots"),
+            ),
+        )
+        .drop("ctype", "robots")
+    )
+    out = index_actions(
+        fr,
+        pd_,
+        fetch,
+        delete_gone=True,
+        delete_robots_noindex=True,
+    )
+    return out.select(
+        "url",
+        F.col("action").cast("int").alias("action"),
+        "title",
+        F.col("boost").cast("double").alias("boost"),
+        "segment",
+    )
+
+
+ORACLE_INDEX_ACTIONS = f"""
+WITH frontier AS ({FRONTIER_SQL}),
+pd AS ({PARSE_FOR_INDEX_SQL}),
+cm AS ({CONTENT_META_SQL}),
+fe AS (
+  SELECT f2.url, f2.status AS fetch_status, cm.robots
+  FROM ({FETCH_SQL}) f2
+  LEFT JOIN cm ON f2.url = cm.url
+  WHERE f2.status != 38
+),
+j AS (
+  SELECT f.url, f.status AS db_status, f.score,
+         fe.fetch_status, fe.robots,
+         pd.title, pd.segment, (pd.url IS NOT NULL) AS has_parse
+  FROM frontier f
+  LEFT JOIN fe ON f.url = fe.url
+  LEFT JOIN pd ON f.url = pd.url
+),
+cls AS (
+  SELECT *,
+    CASE
+      WHEN contains(lower(coalesce(robots, '')), 'noindex') THEN 1
+      WHEN fetch_status IS NOT NULL
+           AND (fetch_status = 37 OR db_status = 3) THEN 1
+      WHEN fetch_status IS NOT NULL
+           AND (fetch_status IN (35, 36) OR db_status IN (4, 5)) THEN 1
+      WHEN fetch_status IS NOT NULL AND has_parse
+           AND db_status = 7 THEN 1
+      WHEN fetch_status IS NOT NULL AND has_parse
+           AND fetch_status = 33 THEN 0
+    END AS action
+  FROM j
+)
+SELECT url, cast(action as int) AS action,
+       CASE WHEN action = 0 THEN title END AS title,
+       CASE WHEN action = 0 THEN cast(score as double) END AS boost,
+       CASE WHEN action = 0 THEN segment END AS segment
+FROM cls
+WHERE action IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
 
@@ -1783,4 +2029,6 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "score_update": (q_score_update, ORACLE_SCORE_UPDATE),
     "updatedb_adaptive": (q_updatedb_adaptive, ORACLE_UPDATEDB_ADAPTIVE),
     "updatedb_mime_adaptive": (q_updatedb_mime_adaptive, ORACLE_UPDATEDB_MIME_ADAPTIVE),
+    "index_plugins": (q_index_plugins, ORACLE_INDEX_PLUGINS),
+    "index_actions": (q_index_actions, ORACLE_INDEX_ACTIONS),
 }
