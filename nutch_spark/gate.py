@@ -1520,6 +1520,43 @@ LEFT JOIN prev p ON g.host = p.host
 """
 
 
+def q_hostdb_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReadHostDb dump with a JEXL-style filter expression over the
+    full update_hostdb output (ReadHostDb.java:66-158) — the hostdb
+    query surface twin of readdb_dump."""
+    from .operators.linkdb import read_hostdb, update_hostdb
+
+    _views(spark, sf_dir, ["orders"])
+    fr = frontier_df(spark, sf_dir).unionByName(
+        _null_meta(spark.sql(HOSTDB_ROOTS_SQL))
+    )
+    out = update_hostdb(
+        fr,
+        prev_hostdb=spark.sql(HOSTDB_PREV_SQL),
+        cur_time_ms=CUR_MS,
+        dns_failed_hosts=spark.sql(HOSTDB_DNS_FAILED_SQL),
+    )
+    dumped = read_hostdb(
+        out, expr="num_urls >= 2 AND dns_failures = 0"
+    )
+    return dumped.select(
+        "host",
+        F.col("num_urls").cast("long").alias("num_urls"),
+        F.col("connection_failures").cast("long").alias(
+            "connection_failures"
+        ),
+        "homepage_url",
+    )
+
+
+ORACLE_HOSTDB_DUMP = f"""
+WITH full_dump AS ({ORACLE_HOSTDB_UPDATE})
+SELECT host, num_urls, connection_failures, homepage_url
+FROM full_dump
+WHERE num_urls >= 2 AND dns_failures = 0
+"""
+
+
 def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC export over span-bearing fetch results: record id, date,
     content length, and the full record hashed via its components
@@ -2022,6 +2059,7 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "parse_canonical": (q_parse_canonical, ORACLE_PARSE_CANONICAL),
     "url_normalize_regex": (q_url_normalize_regex, ORACLE_URL_NORMALIZE_REGEX),
     "hostdb_update": (q_hostdb_update, ORACLE_HOSTDB_UPDATE),
+    "hostdb_dump": (q_hostdb_dump, ORACLE_HOSTDB_DUMP),
     "warc_export": (q_warc_export, ORACLE_WARC_EXPORT),
     "urlfilter_chain": (q_urlfilter_chain, ORACLE_URLFILTER_CHAIN),
     "bloom_unseen": (q_bloom_unseen, ORACLE_BLOOM_UNSEEN),

@@ -364,6 +364,35 @@ class MimeTypeFilter:
 
 
 @dataclass(frozen=True)
+class AnchorFields:
+    """index-anchor (AnchorIndexingFilter.java:79-105): `anchor` field
+    from the inlink anchors; `deduplicate` drops case-insensitive
+    repeats keeping the first occurrence (the reference's HashSet walk
+    preserves arrival order — here the join already array_sorts the
+    anchors, so "first" = lexicographically first spelling per
+    lowercase key, deterministic under any partitioning)."""
+
+    deduplicate: bool = False
+
+    def __call__(self, df: DataFrame) -> Column:
+        anchors = F.coalesce(
+            F.col("anchors"), F.array().cast("array<string>")
+        )
+        if self.deduplicate:
+            # keep a[i] iff no earlier element lowercases to the same
+            # key; array-local O(n²) over ≤ max_anchors elements
+            arr = anchors
+            anchors = F.filter(
+                arr,
+                lambda a, i: ~F.exists(
+                    F.slice(arr, 1, i),
+                    lambda b: F.lower(b) == F.lower(a),
+                ),
+            )
+        return df.withColumn("anchor", anchors)
+
+
+@dataclass(frozen=True)
 class LinksFields:
     """index-links (LinksIndexingFilter.java): index outlink and inlink
     URL lists; `only_outside_host` keeps only cross-host links

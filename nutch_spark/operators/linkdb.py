@@ -197,6 +197,37 @@ def update_hostdb(
     return out
 
 
+def read_hostdb(
+    hostdb_df: DataFrame,
+    expr: str | None = None,
+    dump_hostnames: bool = False,
+    dump_homepages: bool = False,
+) -> DataFrame:
+    """ReadHostDb -dumpHostDb (hostdb/ReadHostDb.java:66-158): dump
+    hostdb rows through an optional JEXL filter expression — here
+    `F.expr` over the row's columns, same translation the CrawlDb
+    dump uses (JexlUtil ≙ SQL boolean expressions). `dump_hostnames`
+    emits only the host column, `dump_homepages` only the recorded
+    homepage URLs (rows without one are skipped, ReadHostDb.java:
+    133-145). The filter runs inside the scan stage — no shuffle."""
+    out = hostdb_df
+    if expr is not None:
+        out = out.filter(F.expr(expr))
+    if dump_homepages:
+        return out.filter(F.col("homepage_url").isNotNull()).select(
+            "homepage_url"
+        )
+    if dump_hostnames:
+        return out.select("host")
+    return out
+
+
+def hostdb_get(hostdb_df: DataFrame, host: str) -> DataFrame:
+    """ReadHostDb -get (ReadHostDb.java:176-202): one host's datum as
+    key\\tvalue detail rows — here the row itself (point lookup)."""
+    return hostdb_df.filter(F.col("host") == host)
+
+
 def update_scores(
     frontier: DataFrame,
     scores: DataFrame,

@@ -273,6 +273,32 @@ class TestLanguageField:
         assert out["http://e/2"]["lang"] == "es"
 
 
+class TestAnchorFields:
+    def test_anchor_plain_and_dedup(self, spark):
+        from nutch_spark.operators.indexplugins import AnchorFields
+
+        df = doc_df(spark, [doc_row(url="http://e/1")]).withColumn(
+            "anchors",
+            F.array(
+                F.lit("Home"), F.lit("home"), F.lit("news"), F.lit("Home")
+            ),
+        )
+        plain = by_url(AnchorFields()(df))
+        assert plain["http://e/1"]["anchor"] == ["Home", "home", "news", "Home"]
+        dd = by_url(AnchorFields(deduplicate=True)(df))
+        # first occurrence per lowercase key survives
+        assert dd["http://e/1"]["anchor"] == ["Home", "news"]
+
+    def test_anchor_null_anchors(self, spark):
+        from nutch_spark.operators.indexplugins import AnchorFields
+
+        df = doc_df(spark, [doc_row(url="http://e/2")]).withColumn(
+            "anchors", F.lit(None).cast("array<string>")
+        )
+        out = by_url(AnchorFields(deduplicate=True)(df))
+        assert out["http://e/2"]["anchor"] == []
+
+
 FRONTIER_SCHEMA = (
     "url string, url_hash long, host string, status int, fetch_time long, "
     "retries int, fetch_interval int, score float, signature string, "

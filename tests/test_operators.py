@@ -348,6 +348,46 @@ def test_update_hostdb_failures_homepage_lastcheck(spark):
     assert purged == {"a.com", "c.com"}  # b.com at 4 failures > 2 purged
 
 
+def test_read_hostdb_expr_homepages_hostnames_get(spark):
+    """ReadHostDb query surface: JEXL-style expr filter, -dumpHostnames,
+    -dumpHomepages (rows without a homepage skipped), and -get
+    (ReadHostDb.java:66-202)."""
+    from pyspark.sql import Row
+
+    from nutch_spark.operators.linkdb import (
+        hostdb_get,
+        read_hostdb,
+        update_hostdb,
+    )
+    from nutch_spark.schema import FRONTIER
+
+    def fr_row(url, host, status=2, retries=0):
+        return Row(url=url, url_hash=hash(url), host=host, status=status,
+                   fetch_time=1, retries=retries, fetch_interval=2592000,
+                   score=1.0, signature=None, modified_time=0, metadata=None)
+
+    fr = spark.createDataFrame(
+        [
+            fr_row("http://a.com/", "a.com"),
+            fr_row("http://a.com/x", "a.com", retries=2),
+            fr_row("http://b.com/y", "b.com"),
+        ],
+        FRONTIER,
+    )
+    hdb = update_hostdb(fr, cur_time_ms=5)
+    filtered = read_hostdb(hdb, expr="connection_failures > 0")
+    assert [r.host for r in filtered.collect()] == ["a.com"]
+    names = read_hostdb(hdb, dump_hostnames=True)
+    assert names.columns == ["host"]
+    assert {r.host for r in names.collect()} == {"a.com", "b.com"}
+    homes = read_hostdb(hdb, dump_homepages=True)
+    assert homes.columns == ["homepage_url"]
+    # b.com has no fetched root → skipped
+    assert [r.homepage_url for r in homes.collect()] == ["http://a.com/"]
+    got = hostdb_get(hdb, "b.com").collect()
+    assert len(got) == 1 and got[0].num_urls == 1
+
+
 def test_segment_stats_and_dump(spark):
     from pyspark.sql import Row
 
