@@ -42,12 +42,23 @@ def _identity(score: Column) -> Column:
     return score
 
 
+def _as_score_col(init_sort) -> Column:
+    """Sort values thread through plugin chains
+    (ScoringFilters.generatorSortValue), so a hook's init_sort may be
+    the previous plugin's output Column rather than a float."""
+    return init_sort if isinstance(init_sort, Column) else F.lit(float(init_sort))
+
+
 @dataclass
 class ScoringHooks:
     injected_score: ColumnFn = _identity
-    initial_score: ColumnFn = field(default=lambda: F.lit(0.0))
+    # initialScore(url, datum) runs on the promoted first-link datum
+    # for brand-new linked URLs (CrawlDbReducer.java:150-153, 192-206):
+    # OPIC resets the score to 0; a no-op filter (AbstractScoringFilter)
+    # keeps the link datum's own score, so the hook receives it.
+    initial_score: ColumnFn = field(default=lambda link_score=None: F.lit(0.0))
     generator_sort_value: ColumnFn = field(
-        default=lambda score, init_sort=1.0: score * F.lit(float(init_sort))
+        default=lambda score, init_sort=1.0: score * _as_score_col(init_sort)
     )
     pass_score_before_parsing: ColumnFn = _identity
     pass_score_after_parsing: ColumnFn = _identity

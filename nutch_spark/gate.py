@@ -2031,6 +2031,59 @@ WHERE action IS NOT NULL
 
 
 # ---------------------------------------------------------------------
+# scoring-similarity plugin (SimilarityScoringFilter.java:55-70;
+# cosine/Model.java:103-166): page↔gold-standard term-frequency cosine
+# ---------------------------------------------------------------------
+
+# Fixed gold-standard doc built from the synthetic vocabulary — stands
+# in for conf's cosine.goldstandard.file (Model.java:78-88).
+SIMILARITY_GOLD = (
+    "spark table scan join window agg table join shuffle partition "
+    "hash merge row column value table"
+)
+
+
+def q_score_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.simscore import similarity_scores
+
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").select(F.col("doc_id").cast("long"), "text")
+    return similarity_scores(docs, SIMILARITY_GOLD).select("doc_id", "sim")
+
+
+def _similarity_oracle() -> str:
+    from .functions.simscore import LUCENE_STOP_WORDS, gold_vector
+
+    gold = gold_vector(SIMILARITY_GOLD)
+    g2 = sum(c * c for c in gold.values())
+    vals = ", ".join(f"('{t}', {c})" for t, c in sorted(gold.items()))
+    stops = ", ".join(f"'{s}'" for s in sorted(LUCENE_STOP_WORDS))
+    # Same integer-exact pieces as the Spark Column program: bigint
+    # Σ tf·gtf and Σ tf², one double divide by sqrt·sqrt at the end.
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents
+), tf AS (
+  SELECT doc_id, t, count(*)::bigint AS c FROM toks
+  WHERE t NOT IN ({stops}) GROUP BY 1, 2
+), gold(t, gc) AS (VALUES {vals}),
+num AS (SELECT tf.doc_id, sum(tf.c * gold.gc)::bigint AS n
+        FROM tf JOIN gold USING (t) GROUP BY 1),
+nrm AS (SELECT doc_id, sum(c * c)::bigint AS m FROM tf GROUP BY 1)
+SELECT cast(d.doc_id as bigint) AS doc_id,
+       CASE WHEN coalesce(nrm.m, 0) = 0 THEN 0.0
+            ELSE coalesce(num.n, 0) / (sqrt(nrm.m) * sqrt({g2})) END AS sim
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN num USING (doc_id)
+LEFT JOIN nrm USING (doc_id)
+"""
+
+
+ORACLE_SCORE_SIMILARITY = _similarity_oracle()
+
+
+# ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
 
@@ -2069,4 +2122,5 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "updatedb_mime_adaptive": (q_updatedb_mime_adaptive, ORACLE_UPDATEDB_MIME_ADAPTIVE),
     "index_plugins": (q_index_plugins, ORACLE_INDEX_PLUGINS),
     "index_actions": (q_index_actions, ORACLE_INDEX_ACTIONS),
+    "score_similarity": (q_score_similarity, ORACLE_SCORE_SIMILARITY),
 }

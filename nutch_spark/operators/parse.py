@@ -390,16 +390,21 @@ def crawl_parse_from(
     ).otherwise(F.lit(float(score_external)))
     # ScoringFilter.distributeScoreToOutlinks hook point
     # (OPICScoringFilter.java:122-165); pass-score hooks bracket it
-    # (passScoreBeforeParsing/AfterParsing — OPIC: identity)
+    # (passScoreBeforeParsing/AfterParsing — OPIC: identity). The pass
+    # hooks run BEFORE the outlink explode, while page columns like
+    # `text` are still in scope (a content-based scorer such as
+    # scoring-similarity reads them) and so the page score is
+    # evaluated once per page, not once per outlink.
     page_score = hooks.pass_score_after_parsing(
         hooks.pass_score_before_parsing(F.col("score"))
     )
     linked = (
         pages.filter(F.col("valid_count") > 0)
+        .withColumn("_page_score", page_score)
         .select(
             "url",
             "host",
-            "score",
+            "_page_score",
             "valid_count",
             F.explode("outlinks").alias("o"),
         )
@@ -407,7 +412,7 @@ def crawl_parse_from(
             F.col("o.to_url").alias("out_url"),
             F.lit(STATUS_LINKED).alias("status"),
             hooks.distribute_score_to_outlinks(
-                page_score, F.col("valid_count"), factor
+                F.col("_page_score"), F.col("valid_count"), factor
             )
             .cast("float")
             .alias("score"),

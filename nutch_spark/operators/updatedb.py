@@ -168,6 +168,13 @@ def updatedb(
         agg0 = lk.groupBy("url").agg(
             F.sum("score").alias("_sum_all"),
             F.count("*").alias("link_count"),
+            # the promoted first-link datum is the HIGHEST-score link
+            # (InlinkPriorityQueue pops lowest first, the reversed
+            # linkList's get(0) is the max — CrawlDbReducer.java:
+            # 140-153); its score seeds brand-new linked URLs before
+            # initialScore runs. Unaffected by the top-K cap: the max
+            # is always inside the top K.
+            F.max("score").alias("link_max"),
             # repr-URL carried on redirect-linked datums
             # (URLUtil.chooseRepr; CrawlDbReducer keeps the repr from
             # the link datum's metadata) — max picks deterministically
@@ -199,6 +206,7 @@ def updatedb(
                 .alias("link_adjust"),
                 F.least(F.col("link_count"), F.lit(max_inlinks).cast("long"))
                 .alias("link_count"),
+                F.col("link_max").cast("float").alias("link_max"),
                 "link_repr",
             )
         )
@@ -217,7 +225,9 @@ def updatedb(
     else:
         j = j.withColumn("link_adjust", F.lit(None).cast("float")).withColumn(
             "link_count", F.lit(None).cast("long")
-        ).withColumn("link_repr", F.lit(None).cast("string"))
+        ).withColumn("link_max", F.lit(None).cast("float")).withColumn(
+            "link_repr", F.lit(None).cast("string")
+        )
     if sigs is not None:
         j = j.join(sigs, "url", "left_outer")
     else:
@@ -418,7 +428,7 @@ def updatedb(
     # new linked URLs start at initialScore)
     base_score = (
         F.when(is_linked & old_set, F.col("o.score"))
-        .when(is_linked, hooks.initial_score())
+        .when(is_linked, hooks.initial_score(F.col("link_max")))
         .when(old_set, F.col("o.score"))
         .otherwise(F.coalesce(seed_score, F.lit(0.0)))
     )
