@@ -66,6 +66,7 @@ class CrawlConfig:
     normalizers: object | None = None  # urlplugins.ScopedNormalizers
     url_filters: object | None = None  # urlplugins.FilterChain
     exemptions: object | None = None  # urlplugins.ExemptionRules
+    parse_filters: object | None = None  # parsefilters.ParseFilterChain
     queue_mode: str = "byHost"  # byHost | byDomain | byIP
     resolver: dict | None = None  # host → IP (byIP mode)
     ignore_external: bool = False
@@ -99,6 +100,8 @@ class Crawler:
             kw["url_filters"] = c.url_filters
         if c.exemptions is not None and stage == "parse":
             kw["exemptions"] = c.exemptions
+        if c.parse_filters is not None and stage == "parse":
+            kw["parse_filters"] = c.parse_filters
         return kw
 
     def _frontier(self) -> DataFrame | None:
@@ -188,6 +191,7 @@ class Crawler:
                     exemptions=pk.get("exemptions"),
                     normalizers=pk.get("normalizers"),
                     url_filters=pk.get("url_filters"),
+                    parse_filters=pk.get("parse_filters"),
                 ),
                 "parse_data",
             )

@@ -2084,6 +2084,72 @@ ORACLE_SCORE_SIMILARITY = _similarity_oracle()
 
 
 # ---------------------------------------------------------------------
+# parsefilter-regex (RegexParseFilter.java:61-96): parse-metadata
+# fields set true/false by regex find over raw content or extracted text
+# ---------------------------------------------------------------------
+
+PARSEFILTER_RULES = (
+    "# gate rules: one text-source, one html-source (media refs only\n"
+    "# appear in the raw span content), one multi-token text regex\n"
+    "has_scan\ttext\tscan\n"
+    "media_seven\thtml\tmedia\\.example\\.com/[0-9]*7$\n"
+    "agg_then_join\ttext\tagg .*join\n"
+)
+
+
+def q_parsefilter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parsefilters import ParseFilterChain, RegexParseFilter
+
+    _views(spark, sf_dir, ["documents"])
+    # parse_data-shaped input: one text span + one media span per doc,
+    # so the html source (= raw span content) differs from the text
+    docs = spark.table("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(
+                    F.lit("http://media.example.com/"), F.col("doc_id")
+                ).alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    chain = ParseFilterChain(
+        (RegexParseFilter.from_text(PARSEFILTER_RULES),)
+    )
+    out = chain.apply(docs)
+    return out.select(
+        "doc_id",
+        F.element_at("parse_meta", F.lit("has_scan")).alias("has_scan"),
+        F.element_at("parse_meta", F.lit("media_seven")).alias("media_seven"),
+        F.element_at("parse_meta", F.lit("agg_then_join")).alias("agg_then_join"),
+    )
+
+
+ORACLE_PARSEFILTER_REGEX = """
+SELECT cast(doc_id as bigint) AS doc_id,
+       CASE WHEN regexp_matches(text, 'scan')
+            THEN 'true' ELSE 'false' END AS has_scan,
+       CASE WHEN regexp_matches(
+                text || ' http://media.example.com/' || doc_id,
+                'media\\.example\\.com/[0-9]*7$')
+            THEN 'true' ELSE 'false' END AS media_seven,
+       CASE WHEN regexp_matches(text, 'agg .*join')
+            THEN 'true' ELSE 'false' END AS agg_then_join
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
 
@@ -2123,4 +2189,5 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "index_plugins": (q_index_plugins, ORACLE_INDEX_PLUGINS),
     "index_actions": (q_index_actions, ORACLE_INDEX_ACTIONS),
     "score_similarity": (q_score_similarity, ORACLE_SCORE_SIMILARITY),
+    "parsefilter_regex": (q_parsefilter_regex, ORACLE_PARSEFILTER_REGEX),
 }

@@ -131,6 +131,7 @@ def parse(
     exemptions=None,  # functions.urlplugins.ExemptionRules | None
     normalizers=None,  # functions.urlplugins.ScopedNormalizers | None
     url_filters=None,  # functions.urlplugins.FilterChain | None
+    parse_filters=None,  # operators.parsefilters.ParseFilterChain | None
 ) -> tuple[DataFrame, DataFrame]:
     """fetch_results → (parse_data, crawl_parse).
 
@@ -140,7 +141,7 @@ def parse(
     exactly once per page."""
     pd_ = parse_pages(
         fetch_results, max_outlinks, ignore_external, external_mode,
-        exemptions, normalizers, url_filters,
+        exemptions, normalizers, url_filters, parse_filters,
     )
     cp = crawl_parse_from(
         pd_, fetch_results, score_internal, score_external, hooks,
@@ -157,6 +158,7 @@ def parse_pages(
     exemptions=None,
     normalizers=None,
     url_filters=None,
+    parse_filters=None,
 ) -> DataFrame:
     """extraction + outlink pipeline → parse_data, in one lineage.
 
@@ -169,7 +171,7 @@ def parse_pages(
     filters), so cutting the lineage there is worth one extra write."""
     return finish_pages(
         extract_pages(fetch_results), max_outlinks, ignore_external,
-        external_mode, exemptions, normalizers, url_filters,
+        external_mode, exemptions, normalizers, url_filters, parse_filters,
     )
 
 
@@ -269,6 +271,7 @@ def finish_pages(
     exemptions=None,
     normalizers=None,
     url_filters=None,
+    parse_filters=None,  # operators.parsefilters.ParseFilterChain | None
 ) -> DataFrame:
     """Outlink pipeline over extracted pages → parse_data.
 
@@ -344,7 +347,7 @@ def finish_pages(
 
     pages = fast_pages.unionByName(slow_pages)
 
-    return pages.select(
+    out = pages.select(
         "url",
         F.regexp_extract("text", r"\A(\S+(?:\s+\S+)?)", 1).alias("title"),
         "text",
@@ -357,6 +360,12 @@ def finish_pages(
         "fetch_time",
         "is_canonical",
     )
+    if parse_filters is not None:
+        # HtmlParseFilter chain (HtmlParseFilters.java): adds the
+        # parse_meta map column; sub-entries have empty span arrays,
+        # so their html-source rules see "" (their text still applies)
+        out = parse_filters.apply(out)
+    return out
 
 
 def crawl_parse_from(
