@@ -451,7 +451,22 @@ def kmeans_pivots(
             )
             .withColumn("pn", _sq_norm(F.col("pv")))
         )
+        # Materialize the trained pivots each round: they are
+        # O(n_pivots) driver state (the canonical k-means broadcast
+        # pattern — NOT a corpus collect), and every downstream
+        # reference would otherwise re-execute the whole
+        # crossJoin+window+posexplode training chain (knn_ivf uses piv
+        # twice: corpus top-1 and query top-p assignment).
+        piv = _materialize_small(piv)
     return piv
+
+
+def _materialize_small(df: DataFrame) -> DataFrame:
+    """Collect a provably-small DataFrame (pivot table) and re-create
+    it as a local relation, cutting the lineage so consumers broadcast
+    literal rows instead of replaying the producing plan."""
+    spark = df.sparkSession
+    return spark.createDataFrame(df.collect(), df.schema)
 
 
 def _assign_top(q: DataFrame, piv: DataFrame, n: int) -> DataFrame:
