@@ -2150,6 +2150,92 @@ FROM documents
 
 
 # ---------------------------------------------------------------------
+# FileDumper (tools/FileDumper.java:140-300): content dump paths by
+# url-MD5 two-level dirs / flat / reversed-host + SHA-256, mime filter
+# ---------------------------------------------------------------------
+
+# url with an extension for 1-in-4 rows so base/ext splitting is
+# exercised (no-extension rows default to .html)
+_FD_URL = f"case when o_orderkey % 4 = 1 then concat({_url('o_orderkey')}, '.png') else {_url('o_orderkey')} end"
+
+FILEDUMP_INPUT_SQL = f"""
+SELECT
+  {_FD_URL} AS url,
+  case cast(o_orderkey % 4 as int)
+    when 0 then 'text/html; charset=utf-8'
+    when 1 then 'image/png'
+    when 2 then 'application/pdf'
+    else 'text/plain' end AS ctype
+FROM orders
+"""
+
+
+def q_file_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.filedump import dump_path_col, file_dump
+
+    _views(spark, sf_dir, ["orders"])
+    rows = spark.sql(FILEDUMP_INPUT_SQL).select(
+        "url",
+        F.create_map(F.lit("Content-Type"), F.col("ctype")).alias("metadata"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("doc "), F.col("url")).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    out = file_dump(rows, mime_types=["text/html", "application/pdf"])
+    return out.select(
+        "url",
+        "mime_type",
+        "path",
+        "content",
+        dump_path_col(F.col("url"), flat_dir=True).alias("flat_path"),
+        dump_path_col(F.col("url"), reverse_url_dump=True).alias("rev_path"),
+    )
+
+
+ORACLE_FILE_DUMP = f"""
+WITH rows0 AS ({FILEDUMP_INPUT_SQL}),
+c AS (
+  SELECT url,
+         trim(string_split(ctype, ';')[1]) AS mime_type,
+         'doc ' || url AS content,
+         md5(url) AS m,
+         string_split(url, '/')[-1] AS last
+  FROM rows0
+), named AS (
+  SELECT *,
+    CASE WHEN regexp_matches(last, '\\.[^.]+$')
+         THEN regexp_extract(last, '^(.*)\\.[^.]*$', 1) ELSE last END AS base,
+    CASE WHEN regexp_matches(last, '\\.[^.]+$')
+         THEN regexp_extract(last, '\\.([^.]*)$', 1) ELSE 'html' END AS ext
+  FROM c
+), paths AS (
+  SELECT url, mime_type, content,
+    m || '_' || replace(substring(base, 1, 32), '?', '') || '.'
+      || replace(substring(ext, 1, 5), '?', '') AS fname,
+    substring(m, 1, 1) || substring(m, 9, 1) AS l1,
+    substring(m, 17, 1) || substring(m, 25, 1) AS l2,
+    replace(array_to_string(list_reverse(string_split(
+      regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^:/?#]*)', 1), '.')), '.'),
+      '.', '/') AS revhost,
+    upper(sha256(url)) AS sha
+  FROM named
+)
+SELECT url, mime_type,
+       'dump/' || l1 || '/' || l2 || '/' || fname AS path,
+       content,
+       'dump/' || fname AS flat_path,
+       'dump/' || revhost || '/' || sha AS rev_path
+FROM paths
+WHERE mime_type IN ('text/html', 'application/pdf')
+"""
+
+
+# ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
 
@@ -2190,4 +2276,5 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "index_actions": (q_index_actions, ORACLE_INDEX_ACTIONS),
     "score_similarity": (q_score_similarity, ORACLE_SCORE_SIMILARITY),
     "parsefilter_regex": (q_parsefilter_regex, ORACLE_PARSEFILTER_REGEX),
+    "file_dump": (q_file_dump, ORACLE_FILE_DUMP),
 }
