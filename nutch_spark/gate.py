@@ -1806,15 +1806,30 @@ SELECT
     AS lastmod,
   case when o_orderkey % 7 = 0
        then concat('team', cast(o_orderkey % 3 as string)) end AS team,
-  case when o_orderkey % 11 = 0 then 'NOINDEX,nofollow' end AS robots
+  case when o_orderkey % 11 = 0 then 'NOINDEX,nofollow' end AS robots,
+  case when o_orderkey % 2 = 0
+       then concat('10.0.0.', cast(o_orderkey % 5 as string)) end AS ip
 FROM orders
 """
+
+
+# injectable geo table for the index-geoip plugin (MaxMind stand-in);
+# IPs come from CONTENT_META_SQL's `_ip_` values, two left unknown
+GEO_TABLE = {
+    "10.0.0.0": ("Minneapolis", "US", "United States",
+                 "44.9733,-93.2323", "America/Chicago"),
+    "10.0.0.1": ("Berlin", "DE", "Germany",
+                 "52.52,13.405", "Europe/Berlin"),
+    "10.0.0.3": ("Tokyo", "JP", "Japan",
+                 "35.6762,139.6503", "Asia/Tokyo"),
+}
 
 
 def q_index_plugins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.index import index_documents
     from .operators.indexplugins import (
         BasicFields,
+        GeoIpFields,
         IndexingFilterChain,
         MetadataFields,
         MimeTypeFilter,
@@ -1838,6 +1853,7 @@ def q_index_plugins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("Content-Length"), F.col("clen"),
             F.lit("Last-Modified"), F.col("lastmod"),
             F.lit("X-Team"), F.col("team"),
+            F.lit("_ip_"), F.col("ip"),
         ).alias("metadata"),
     )
     docs = index_documents(
@@ -1863,6 +1879,7 @@ def q_index_plugins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ReplaceFields(
                 [ReplaceRule("content", "^X-", "Y-", urlmatch="[02468]$")]
             ),
+            GeoIpFields.from_dict(GEO_TABLE),
             MimeTypeFilter(["application/"]),
         ]
     )
@@ -1886,6 +1903,11 @@ def q_index_plugins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("x_team").alias("x_team"),
         F.array_join("subcollection", ",").alias("subcoll"),
+        "ip",
+        "city_name",
+        "country_iso_code",
+        "lat_lon",
+        "time_zone",
     )
 
 
@@ -1896,7 +1918,7 @@ cm AS ({CONTENT_META_SQL}),
 base AS (
   SELECT f.url, f.host, f.score, f.fetch_time, f.modified_time,
          pd.title, pd.text,
-         cm.ctype, cm.clen, cm.lastmod, cm.team,
+         cm.ctype, cm.clen, cm.lastmod, cm.team, cm.ip,
          lower(trim(split_part(cm.ctype, ';', 1))) AS mtype
   FROM frontier f
   JOIN pd ON f.url = pd.url
@@ -1928,6 +1950,19 @@ fields AS (
     cast(score as double) AS boost,
     'crawl' AS source,
     team AS x_team,
+    ip,
+    case ip when '10.0.0.0' then 'Minneapolis'
+            when '10.0.0.1' then 'Berlin'
+            when '10.0.0.3' then 'Tokyo' end AS city_name,
+    case ip when '10.0.0.0' then 'US'
+            when '10.0.0.1' then 'DE'
+            when '10.0.0.3' then 'JP' end AS country_iso_code,
+    case ip when '10.0.0.0' then '44.9733,-93.2323'
+            when '10.0.0.1' then '52.52,13.405'
+            when '10.0.0.3' then '35.6762,139.6503' end AS lat_lon,
+    case ip when '10.0.0.0' then 'America/Chicago'
+            when '10.0.0.1' then 'Europe/Berlin'
+            when '10.0.0.3' then 'Asia/Tokyo' end AS time_zone,
     concat_ws(',',
       case when contains(url, '/p/1') then 'news' end,
       case when (contains(url, '0') OR contains(url, '2')
@@ -1942,7 +1977,8 @@ SELECT url, doc_url, host, domain, tld, title,
             then regexp_replace(content0, '^X-', 'Y-')
             else content0 end AS content,
        tstamp, type, primary_type, sub_type, content_length,
-       last_modified, date, boost, source, x_team, subcoll
+       last_modified, date, boost, source, x_team, subcoll,
+       ip, city_name, country_iso_code, lat_lon, time_zone
 FROM fields
 WHERE type IS NULL OR type NOT LIKE 'application/%'
 """

@@ -456,6 +456,58 @@ class LanguageField:
 
 
 @dataclass(frozen=True)
+class GeoIpFields:
+    """index-geoip (GeoIPIndexingFilter.java:211-230;
+    GeoIPDocumentCreator.createDocFromCityDb:66-96, trimmed to the
+    city-database subset): the server IP is read from the content
+    metadata key `_ip_` (stored when `store.ip.address` is on), then
+    geolocation fields come from an injectable ip → attributes table —
+    the sandbox stand-in for the MaxMind city database (no bundled db,
+    no web service). Unknown/absent IPs leave the fields null, like
+    the reference's doc-unchanged path.
+
+    geo: {ip: (city_name, country_iso_code, country_name,
+               lat_lon "lat,lon", time_zone)}
+    """
+
+    geo: tuple = ()  # ((ip, (city, iso, country, lat_lon, tz)), ...)
+
+    _FIELDS = ("city_name", "country_iso_code", "country_name",
+               "lat_lon", "time_zone")
+
+    @classmethod
+    def from_dict(cls, geo: dict) -> "GeoIpFields":
+        return cls(tuple(sorted(geo.items())))
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        ip = (
+            _meta("content_meta", "_ip_")
+            if "content_meta" in df.columns
+            else F.lit(None).cast("string")
+        )
+        out = df.withColumn("ip", ip)
+        # one small map literal per attribute — broadcast by value,
+        # the lookup stays in the scan stage (no join, no shuffle)
+        for i, field in enumerate(self._FIELDS):
+            entries = [
+                x
+                for ip_, attrs in self.geo
+                if attrs[i] is not None
+                for x in (F.lit(ip_), F.lit(attrs[i]))
+            ]
+            val = (
+                F.when(
+                    F.col("ip").isNotNull(),
+                    F.element_at(F.create_map(*entries), F.col("ip")),
+                )
+                if entries
+                else F.lit(None).cast("string")
+            )
+            out = out.withColumn(field, val)
+        return out
+
+
+@dataclass(frozen=True)
 class IndexingFilterChain:
     """IndexingFilters.java:41-51 — ordered composition; a filter that
     drops a document ends its processing (here: composition of

@@ -516,3 +516,54 @@ class TestIndexDocumentsExtended:
         out = LinksFields(only_outside_host=True)(df).collect()[0]
         assert out["outlinks"] == ["http://other.com/x"]
         assert out["inlinks"] == ["http://other.com/y"]
+
+
+class TestGeoIpFields:
+    """index-geoip (GeoIPIndexingFilter.java:211-230): city-db field
+    subset from the content-meta `_ip_` key via an injectable geo
+    table (MaxMind stand-in)."""
+
+    GEO = {
+        "10.0.0.1": ("Berlin", "DE", "Germany", "52.52,13.405",
+                     "Europe/Berlin"),
+    }
+
+    def test_known_unknown_and_missing_ip(self, spark):
+        from nutch_spark.operators.indexplugins import GeoIpFields
+
+        df = doc_df(
+            spark,
+            [
+                doc_row(url="http://a/k", content_meta={"_ip_": "10.0.0.1"}),
+                doc_row(url="http://a/u", content_meta={"_ip_": "10.9.9.9"}),
+                doc_row(url="http://a/m", content_meta={}),
+            ],
+        )
+        out = {r.url: r for r in GeoIpFields.from_dict(self.GEO)(df).collect()}
+        k = out["http://a/k"]
+        assert (k.ip, k.city_name, k.country_iso_code, k.country_name,
+                k.lat_lon, k.time_zone) == (
+            "10.0.0.1", "Berlin", "DE", "Germany", "52.52,13.405",
+            "Europe/Berlin",
+        )
+        # unknown IP: ip field set, geo fields null (doc unchanged path)
+        u = out["http://a/u"]
+        assert u.ip == "10.9.9.9" and u.city_name is None
+        # no _ip_ stored (store.ip.address off): everything null
+        m = out["http://a/m"]
+        assert m.ip is None and m.city_name is None and m.time_zone is None
+
+    def test_in_chain(self, spark):
+        from nutch_spark.operators.indexplugins import (
+            GeoIpFields,
+            IndexingFilterChain,
+        )
+
+        df = doc_df(
+            spark, [doc_row(content_meta={"_ip_": "10.0.0.1"})]
+        )
+        chain = IndexingFilterChain(
+            [BasicFields(), GeoIpFields.from_dict(self.GEO)]
+        )
+        row = chain(df).collect()[0]
+        assert row.city_name == "Berlin" and row.host == "example.com"
