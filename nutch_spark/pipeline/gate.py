@@ -322,6 +322,55 @@ def _langid_oracle() -> str:
 ORACLE_LANGID = _langid_oracle()
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import repetition_stats
+
+    _views(spark, sf_dir, ["documents"])
+    return repetition_stats(
+        spark.table("documents").select(F.col("doc_id").cast("long"), "text")
+    )
+
+
+ORACLE_TEXT_REPETITION = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), gr AS (
+  SELECT doc_id, len(toks)::bigint AS n_tokens,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)),
+                             i -> toks[i] || ' ' || toks[i+1])
+         ELSE [text] END AS g2,
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [text] END AS g3
+  FROM t
+), u2 AS (
+  SELECT doc_id, unnest(g2) AS g FROM gr
+), c2 AS (
+  SELECT doc_id, g, count(*)::bigint AS c FROM u2 GROUP BY 1, 2
+), s2 AS (
+  SELECT doc_id, sum(c)::bigint AS total, max(c)::bigint AS mx,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::bigint AS dup
+  FROM c2 GROUP BY 1
+), u3 AS (
+  SELECT doc_id, unnest(g3) AS g FROM gr
+), c3 AS (
+  SELECT doc_id, g, count(*)::bigint AS c FROM u3 GROUP BY 1, 2
+), s3 AS (
+  SELECT doc_id, sum(c)::bigint AS total, max(c)::bigint AS mx,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::bigint AS dup
+  FROM c3 GROUP BY 1
+)
+SELECT cast(gr.doc_id as bigint) AS doc_id, gr.n_tokens,
+       s2.mx::double / s2.total::double AS top2_frac,
+       s2.dup::double / s2.total::double AS dup2_frac,
+       s3.mx::double / s3.total::double AS top3_frac,
+       s3.dup::double / s3.total::double AS dup3_frac
+FROM gr JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textstats import fingerprints
 
@@ -690,6 +739,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "text_langid": (q_langid, ORACLE_LANGID),
     "text_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
     "knn_cosine": (q_knn_cosine, ORACLE_KNN_COSINE),
     "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),
     "knn_ivf_kmeans": (q_knn_ivf_kmeans, ORACLE_KNN_IVF_KMEANS),

@@ -158,6 +158,98 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     return F.when(sz >= n, grams).otherwise(F.array(text))
 
 
+def _run_length_stats(grams: Column) -> Column:
+    """(max_run, dup_occurrences) over an array's equal-value runs via
+    one aggregate over the sorted array — the per-row analogue of a
+    groupBy(gram).count() without the explode/shuffle."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("mx"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("tot"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = acc["prev"].eqNullSafe(x)
+        closed_mx = F.greatest(acc["mx"], acc["run"])
+        closed_dup = acc["dup"] + F.when(
+            acc["run"] > 1, acc["run"]
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(same, acc["mx"]).otherwise(closed_mx).alias("mx"),
+            F.when(same, acc["dup"]).otherwise(closed_dup).alias("dup"),
+            (acc["tot"] + 1).alias("tot"),
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.struct(
+            F.greatest(acc["mx"], acc["run"]).alias("mx"),
+            (
+                acc["dup"]
+                + F.when(acc["run"] > 1, acc["run"]).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("dup"),
+            acc["tot"].alias("tot"),
+        )
+
+    # total rides in the accumulator so the (lambda-bearing, hence
+    # never subexpression-eliminated) shingle array is referenced once
+    return F.aggregate(F.array_sort(grams), zero, step, finish)
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public
+    quality heuristics used by every large-scale text pipeline): per
+    document and n-gram size n,
+
+      top{n}_frac — occurrences of the single most frequent word
+        n-gram / total n-gram occurrences,
+      dup{n}_frac — fraction of n-gram occurrences belonging to grams
+        that appear more than once.
+
+    Pure per-row array program over the same shifted-slice shingles as
+    the dedup family — no explode, no shuffle; both fractions are one
+    bigint/bigint division so a SQL oracle reproduces them bit-exactly.
+    Docs shorter than n tokens collapse to a single whole-text gram
+    (top = 1.0, dup = 0.0), mirroring shingles_col."""
+    toks = F.split(F.col(text_col), " ")
+    out = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        *[
+            _run_length_stats(shingles_col(F.col(text_col), n)).alias(
+                f"_st{n}"
+            )
+            for n in ns
+        ],
+    )
+    cols = [F.col(id_col), F.col("n_tokens")]
+    for n in ns:
+        st = F.col(f"_st{n}")
+        cols.append(
+            (st["mx"].cast("double") / st["tot"].cast("double")).alias(
+                f"top{n}_frac"
+            )
+        )
+        cols.append(
+            (st["dup"].cast("double") / st["tot"].cast("double")).alias(
+                f"dup{n}_frac"
+            )
+        )
+    return out.select(*cols)
+
+
 def fingerprints(
     docs: DataFrame,
     text_col: str = "text",

@@ -386,3 +386,39 @@ def test_srp_fingerprint_partitioning_invariant(spark):
     }
     assert a == b
     assert a[0] == a[10]  # identical vectors ⇒ identical fingerprint
+
+
+def test_repetition_stats_known_values(spark):
+    """Gopher-style repetition fractions, hand-computed:
+    'a b a b a' → 2-grams [a b, b a, a b, b a]: top2 = 2/4, dup2 = 4/4;
+    3-grams [a b a, b a b, a b a]: top3 = 2/3, dup3 = 2/3."""
+    from nutch_spark.pipeline.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),
+            (2, "w x y z"),       # all distinct 2-/3-grams
+            (3, "solo"),          # shorter than n → whole-text gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r1 = got[1]
+    assert r1.n_tokens == 5
+    assert r1.top2_frac == pytest.approx(0.5)
+    assert r1.dup2_frac == pytest.approx(1.0)
+    assert r1.top3_frac == pytest.approx(2 / 3)
+    assert r1.dup3_frac == pytest.approx(2 / 3)
+    r2 = got[2]
+    assert (r2.top2_frac, r2.dup2_frac) == (pytest.approx(1 / 3), 0.0)
+    assert (r2.top3_frac, r2.dup3_frac) == (0.5, 0.0)
+    r3 = got[3]
+    assert (r3.n_tokens, r3.top2_frac, r3.dup2_frac) == (1, 1.0, 0.0)
+
+
+def test_repetition_stats_no_shuffle(spark):
+    from nutch_spark.pipeline.textstats import repetition_stats
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
