@@ -312,3 +312,70 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select("a", "b", "hamming")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    components over the undirected pair graph, labeling every node
+    with the minimum doc id in its component (the canonical
+    representative — keep cluster_id, drop the rest, exactly like
+    DeduplicationJob's keep-one but across transitive matches).
+
+    Min-label propagation: each round every node takes
+    min(own label, neighbors' labels) — one join + one groupBy per
+    round, lineage cut with localCheckpoint (the LinkRank discipline),
+    stopping when a round changes nothing. Rounds needed = component
+    diameter; near-dup clusters are small and dense (every member
+    pairs with most others), so this converges in 2-3 rounds — the
+    log-round star-contraction variant (Kiveris et al., "Connected
+    Components in MapReduce") is the upgrade path if components with
+    large diameters ever appear. min() is reduction-order independent,
+    so the labeling is deterministic under any partitioning.
+
+    Output: (doc_id, cluster_id) for every node that appears in a
+    pair; singletons never enter the graph (their cluster is
+    themselves by definition).
+    """
+    fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = fwd.union(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select("u").distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

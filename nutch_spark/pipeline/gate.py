@@ -175,6 +175,55 @@ WHERE cast(i as double) / cast(sa.s + sb.s - i as double) >= 0.8
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_docs import dedup_clusters, minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(corpus_df(spark, sf_dir), threshold=0.8)
+    out = dedup_clusters(pairs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+# connected components over the verified LSH pairs: recursive
+# min-label closure (DuckDB recursive CTE reaches the true fixpoint,
+# the Spark loop iterates to convergence — both are the exact
+# component labeling, so they match value-for-value)
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SHINGLE_CTES},
+{_SIGS_CTE},
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.doc_id < y.doc_id
+   AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)),
+sz AS (SELECT doc_id, count(*) AS s FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM dsh x JOIN dsh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id),
+pairs AS (
+  SELECT inter.a, inter.b
+  FROM inter
+  JOIN cand ON cand.a = inter.a AND cand.b = inter.b
+  JOIN sz sa ON sa.doc_id = inter.a
+  JOIN sz sb ON sb.doc_id = inter.b
+  WHERE cast(i as double) / cast(sa.s + sb.s - i as double) >= 0.8),
+edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION
+  SELECT b AS u, a AS v FROM pairs),
+reach(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node)
+SELECT cast(node as bigint) AS doc_id,
+       cast(min(label) as bigint) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup_docs import simhash
 
@@ -732,6 +781,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "dedup_minhash_signature": (q_minhash_signature, ORACLE_MINHASH_SIG),
     "dedup_minhash_lsh": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_simhash": (q_simhash_sig, ORACLE_SIMHASH_SIG),
     "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
     "dedup_embedding": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),

@@ -422,3 +422,32 @@ def test_repetition_stats_no_shuffle(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dedup_clusters_transitive(spark):
+    """Connected components over pairs: transitive chains collapse to
+    one cluster labeled by the minimum doc id; separate components
+    stay separate. A path graph (1-2, 2-3, 3-4) needs propagation
+    beyond one hop — the convergence loop, not a single join."""
+    from nutch_spark.pipeline.dedup_docs import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_partitioning_invariant(spark):
+    from nutch_spark.pipeline.dedup_docs import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)] + [(100, 200)], "a long, b long"
+    )
+    one = {(r.doc_id, r.cluster_id) for r in dedup_clusters(pairs).collect()}
+    many = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters(pairs.repartition(7)).collect()
+    }
+    assert one == many
+    assert all(c == 1 for d, c in one if d <= 20)
