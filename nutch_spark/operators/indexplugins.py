@@ -468,6 +468,11 @@ class GeoIpFields:
 
     geo: {ip: (city_name, country_iso_code, country_name,
                lat_lon "lat,lon", time_zone)}
+
+    Scale note: map literals suit a table of up to a few thousand
+    entries (they live in the plan); a full MaxMind-sized table should
+    instead be a broadcast DataFrame joined on ip — same columns, one
+    broadcast hash join, no plan blowup.
     """
 
     geo: tuple = ()  # ((ip, (city, iso, country, lat_lon, tz)), ...)
