@@ -62,6 +62,30 @@ def reverse_url_col(url: Column) -> Column:
     )
 
 
+def unreverse_url_col(rev: Column) -> Column:
+    """TableUtil.unreverseUrl (TableUtil.java:87-110): inverse of
+    reverse_url_col — `com.foo.bar:http:8983/to/x?a=b` →
+    `http://bar.foo.com:8983/to/x?a=b`. Faithful to the reference's
+    first-'/' split, including its quirk that a query-only URL (no
+    path) folds the query into the protocol token."""
+    head = F.regexp_extract(rev, r"^([^/]*)", 1)
+    path = F.regexp_extract(rev, r"(/.*)$", 1)
+    parts = F.split(head, ":")
+    host = F.array_join(
+        F.reverse(F.split(parts.getItem(0), r"\.")), "."
+    )
+    port = F.when(F.size(parts) >= 3, parts.getItem(2))
+    return F.concat(
+        parts.getItem(1),
+        F.lit("://"),
+        host,
+        F.when(port.isNotNull(), F.concat(F.lit(":"), port)).otherwise(
+            F.lit("")
+        ),
+        path,
+    )
+
+
 def _base_and_ext(url: Column) -> tuple[Column, Column]:
     """FilenameUtils.getBaseName/getExtension over the URL string;
     empty extension defaults to 'html' (FileDumper.java:199-205)."""

@@ -155,3 +155,38 @@ def test_parse_dmoz_subset_deterministic(spark):
     assert a == b
     full = {r.url for r in parse_dmoz(lines).collect()}
     assert a <= full
+
+
+def test_unreverse_url_examples(spark):
+    from nutch_spark.sources.filedump import unreverse_url_col
+
+    df = spark.createDataFrame(
+        [("com.foo.bar:http:8983/to/index.html?a=b",), ("com.foo.bar:http",)],
+        "r string",
+    )
+    got = [r.u for r in df.select(unreverse_url_col(F.col("r")).alias("u")).collect()]
+    assert got == ["http://bar.foo.com:8983/to/index.html?a=b", "http://bar.foo.com"]
+
+
+def test_reverse_unreverse_roundtrip(spark):
+    """unreverse(reverse(url)) == url for URLs with a path component
+    (the reference's own domain of validity — a query-only URL folds
+    into the protocol token, a documented reference quirk)."""
+    from nutch_spark.sources.filedump import reverse_url_col, unreverse_url_col
+
+    urls = [
+        "http://bar.foo.com:8983/to/index.html?a=b",
+        "http://single/",
+        "https://a.b.c.d.example.org/deep/path/x.png",
+        "http://h.example.com/p/00042",
+        "ftp://files.example.net:2121/pub/data.bin",
+        "http://example.com/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r.u
+        for r in df.select(
+            unreverse_url_col(reverse_url_col(F.col("url"))).alias("u")
+        ).collect()
+    ]
+    assert got == urls
