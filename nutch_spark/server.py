@@ -19,6 +19,19 @@ MapReduce jobs, which Spark's driver supersedes):
   POST /job/cycle             run ONE generate→fetch→parse→updatedb
                               cycle synchronously; returns its stats
                               (JobResource, synchronous simplification)
+  GET  /job                   job history (JobResource.getJobs)
+  GET  /job/<id>              one job's record (JobResource.getInfo)
+  GET  /config                named config ids (ConfigResource:50-60)
+  GET  /config/<id>           one config's properties (:62-73)
+  GET  /config/<id>/<prop>    single property value (:75-87)
+  POST /config/<id>           create/replace a named config (:89-...)
+  DELETE /config/<id>         drop a named config
+
+Configs are in-memory property maps keyed by id (the reference's
+ConfigManager holds NutchConfigurations the same way); "default"
+reflects the bound CrawlConfig and cannot be deleted. /job/cycle takes
+an optional {"config": id} whose properties override CrawlConfig
+fields for that run — JobResource's per-job config binding.
 
 Every response is JSON. The app holds one SparkSession; requests run
 queries against the CURRENT snapshots, so a concurrent crawl's atomic
@@ -146,6 +159,65 @@ def create_app(spark, store, web=None, cfg=None):
         store.write(merged, "frontier")
         return jsonify({"frontier": store.read(spark, "frontier").count()})
 
+    # --- ConfigResource: named in-memory property maps ---
+    from dataclasses import asdict, fields, is_dataclass, replace
+
+    def _default_props() -> dict:
+        from .crawl import CrawlConfig
+
+        base = cfg if (cfg is not None and is_dataclass(cfg)) else CrawlConfig()
+        return {
+            k: v
+            for k, v in asdict(base).items()
+            if isinstance(v, (int, float, str, bool)) or v is None
+        }
+
+    configs: dict[str, dict] = {"default": _default_props()}
+
+    @app.get("/config")
+    def config_ids():
+        return jsonify(sorted(configs))
+
+    @app.get("/config/<cid>")
+    def config_get(cid):
+        if cid not in configs:
+            return jsonify({"error": "unknown config"}), 404
+        return jsonify(configs[cid])
+
+    @app.get("/config/<cid>/<prop>")
+    def config_prop(cid, prop):
+        if cid not in configs or prop not in configs[cid]:
+            return jsonify({"error": "unknown property"}), 404
+        return jsonify(configs[cid][prop])
+
+    @app.post("/config/<cid>")
+    def config_put(cid):
+        if cid == "default":
+            return jsonify({"error": "default is read-only"}), 400
+        body = request.get_json(force=True) or {}
+        configs[cid] = {**_default_props(), **body}
+        return jsonify(cid)
+
+    @app.delete("/config/<cid>")
+    def config_delete(cid):
+        if cid == "default":
+            return jsonify({"error": "default is read-only"}), 400
+        configs.pop(cid, None)
+        return jsonify(True)
+
+    # --- JobResource: synchronous cycles + a job history log ---
+    jobs: list[dict] = []
+
+    @app.get("/job")
+    def job_list():
+        return jsonify(jobs)
+
+    @app.get("/job/<int:jid>")
+    def job_get(jid):
+        if jid < 0 or jid >= len(jobs):
+            return jsonify({"error": "unknown job"}), 404
+        return jsonify(jobs[jid])
+
     @app.post("/job/cycle")
     def job_cycle():
         if web is None:
@@ -153,8 +225,32 @@ def create_app(spark, store, web=None, cfg=None):
         from .crawl import CrawlConfig, Crawler
 
         body = request.get_json(force=True) or {}
-        crawler = Crawler(spark, store, web, cfg or CrawlConfig())
-        stats_out = crawler.cycle(int(body.get("depth", 0)))
+        run_cfg = cfg or CrawlConfig()
+        cid = body.get("config")
+        if cid is not None:
+            if cid not in configs:
+                return jsonify({"error": "unknown config"}), 404
+            known = {f.name for f in fields(CrawlConfig)}
+            overrides = {
+                k: v for k, v in configs[cid].items()
+                if k in known and v is not None
+            }
+            run_cfg = replace(
+                run_cfg if is_dataclass(run_cfg) else CrawlConfig(),
+                **overrides,
+            )
+        rec = {
+            "id": len(jobs), "type": "cycle", "config": cid or "default",
+            "state": "RUNNING", "started_ms": int(time.time() * 1000),
+        }
+        jobs.append(rec)
+        try:
+            crawler = Crawler(spark, store, web, run_cfg)
+            stats_out = crawler.cycle(int(body.get("depth", 0)))
+            rec.update(state="FINISHED", result=stats_out)
+        except Exception as e:  # report like JobInfo's FAILED state
+            rec.update(state="FAILED", msg=str(e))
+            return jsonify(rec), 500
         return jsonify(stats_out)
 
     return app

@@ -80,3 +80,47 @@ def test_seed_and_job_cycle(served, spark):
     out = r.get_json()
     assert out["segment"] == "seg0001"
     assert client.post("/seed", json={}).status_code == 400
+
+
+def test_config_resource(served):
+    """ConfigResource (service/resources/ConfigResource.java:50-...):
+    list/get/property/create/delete over named in-memory configs;
+    'default' reflects the bound CrawlConfig and is read-only."""
+    client, _ = served
+    assert client.get("/config").get_json() == ["default"]
+    d = client.get("/config/default").get_json()
+    assert d["topn"] == 100 and d["depth"] == 1
+
+    r = client.post("/config/fast", json={"topn": 7, "max_count": 2})
+    assert r.get_json() == "fast"
+    assert set(client.get("/config").get_json()) == {"default", "fast"}
+    assert client.get("/config/fast/topn").get_json() == 7
+    # unknown property / config → 404
+    assert client.get("/config/fast/nope").status_code == 404
+    assert client.get("/config/nope").status_code == 404
+    # default is read-only
+    assert client.post("/config/default", json={}).status_code == 400
+    assert client.delete("/config/default").status_code == 400
+    assert client.delete("/config/fast").get_json() is True
+    assert client.get("/config").get_json() == ["default"]
+
+
+def test_job_history_and_config_binding(served):
+    """JobResource: /job lists run records with state; a named config's
+    properties override CrawlConfig for that run."""
+    client, _ = served
+    assert client.get("/job").get_json() == []
+    client.post("/config/tiny", json={"topn": 2})
+    r = client.post("/job/cycle", json={"depth": 1, "config": "tiny"})
+    assert r.status_code == 200
+    stats = r.get_json()
+    # topn=2 bound from the named config caps the cycle's fetchlist
+    assert stats["generated"] <= 2
+    hist = client.get("/job").get_json()
+    assert len(hist) == 1 and hist[0]["state"] == "FINISHED"
+    assert hist[0]["config"] == "tiny"
+    one = client.get("/job/0").get_json()
+    assert one["result"]["generated"] <= 2
+    assert client.get("/job/5").status_code == 404
+    # unknown config on a job → 404
+    assert client.post("/job/cycle", json={"config": "nope"}).status_code == 404
