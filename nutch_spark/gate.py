@@ -1733,6 +1733,34 @@ FROM frontier f LEFT JOIN s3 ON f.url = s3.url
     )
 
 
+def q_link_dumper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LinkDumper (webgraph/LinkDumper.java:68-73): inlinks per target
+    annotated with the SOURCE node's LinkRank score — rank debugging."""
+    from .operators.linkdb import link_dumper, linkrank_quantized
+
+    edges = links_df(spark, sf_dir).select("from_url", "to_url")
+    # scores over the RAW edge multiset (multiplicity counts, exactly
+    # like the linkrank gate); the dump itself lists each distinct link
+    scores = linkrank_quantized(edges, iterations=3)
+    return link_dumper(edges.distinct(), scores)
+
+
+def _link_dumper_oracle() -> str:
+    lr = _linkrank_oracle(iterations=3)
+    body = lr.split("WITH ", 1)[1]
+    ctes, tail = body.rsplit("\nSELECT", 1)
+    assert tail.startswith(" url, u AS score_units")
+    return (
+        "WITH " + ctes + f""",
+raw_edges AS ({LINKS_SQL}),
+uedges AS (SELECT DISTINCT from_url, to_url FROM raw_edges)
+SELECT e.to_url AS url, e.from_url,
+       cast(coalesce(s3.u, 0) as bigint) AS from_score_units
+FROM uedges e LEFT JOIN s3 ON e.from_url = s3.url
+"""
+    )
+
+
 def q_linkrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point LinkRank (bigint micro-units, exact integer sums +
     floor divisions) — reduction-order independent, so it carries a
@@ -1781,6 +1809,7 @@ def _linkrank_oracle(iterations: int = 5, scale: int = 1_000_000,
 
 
 ORACLE_LINKRANK = _linkrank_oracle()
+ORACLE_LINK_DUMPER = _link_dumper_oracle()
 ORACLE_SCORE_UPDATE = _score_update_oracle()
 
 
@@ -2305,6 +2334,7 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "urlfilter_chain": (q_urlfilter_chain, ORACLE_URLFILTER_CHAIN),
     "bloom_unseen": (q_bloom_unseen, ORACLE_BLOOM_UNSEEN),
     "linkrank": (q_linkrank, ORACLE_LINKRANK),
+    "link_dumper": (q_link_dumper, ORACLE_LINK_DUMPER),
     "score_update": (q_score_update, ORACLE_SCORE_UPDATE),
     "updatedb_adaptive": (q_updatedb_adaptive, ORACLE_UPDATEDB_ADAPTIVE),
     "updatedb_mime_adaptive": (q_updatedb_mime_adaptive, ORACLE_UPDATEDB_MIME_ADAPTIVE),

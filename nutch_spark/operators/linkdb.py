@@ -393,3 +393,31 @@ def linkrank(
             scores = scores.localCheckpoint(eager=True)
     edges_deg.unpersist()
     return scores
+
+
+def link_dumper(edges: DataFrame, scores: DataFrame) -> DataFrame:
+    """LinkDumper (scoring/webgraph/LinkDumper.java:68-73): per target
+    URL, its inlinks annotated with each inlink SOURCE's LinkRank
+    score — the rank-debugging view ("why does this url rank this
+    way"). One broadcast-able join of the edge list with the node
+    score table; no per-key state.
+
+    edges: (from_url, to_url); scores: (url, score_units) from
+    linkrank_quantized (or any node-score table with those columns).
+    """
+    return (
+        edges.join(
+            scores.select(
+                F.col("url").alias("from_url"),
+                F.col("score_units").alias("from_score_units"),
+            ),
+            "from_url",
+            "left",
+        )
+        .select(
+            F.col("to_url").alias("url"),
+            "from_url",
+            F.coalesce(F.col("from_score_units"), F.lit(0)).cast("long")
+            .alias("from_score_units"),
+        )
+    )

@@ -178,3 +178,37 @@ def main(argv: list[str] | None = None) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def segment_check(
+    segment: str,
+    fetchlist: DataFrame | None = None,
+    fetch_results: DataFrame | None = None,
+    parse_text: DataFrame | None = None,
+    parse_data: DataFrame | None = None,
+    crawl_parse: DataFrame | None = None,
+) -> dict:
+    """SegmentChecker (segment/SegmentChecker.java:44-140): verify a
+    segment's parts exist and are non-empty, and classify it —
+    `parsed` (isParsed: parse output present) and `indexable`
+    (isIndexable: fetch + parse output present). Parts are the global
+    cycle tables filtered on the segment column; presence = at least
+    one row (a limit-1 probe per part, pushdown-friendly)."""
+
+    def present(df: DataFrame | None) -> bool:
+        if df is None:
+            return False
+        return bool(
+            df.filter(F.col("segment") == segment).limit(1).take(1)
+        )
+
+    parts = {
+        "fetchlist": present(fetchlist),
+        "fetch_results": present(fetch_results),
+        "parse_text": present(parse_text),
+        "parse_data": present(parse_data),
+        "crawl_parse": present(crawl_parse),
+    }
+    parts["parsed"] = parts["parse_data"] and parts["crawl_parse"]
+    parts["indexable"] = parts["fetch_results"] and parts["parsed"]
+    return parts
