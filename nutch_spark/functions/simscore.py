@@ -347,18 +347,28 @@ def similarity_scores(
     gold_text: str,
     text_col: str = "text",
     out_col: str = "sim",
+    *,
+    stem: bool = True,
     **tok_kw,
 ) -> DataFrame:
     """Standalone operator: score every row of `docs` against the gold
-    doc. One scan, zero shuffles — the plan is Project over the scan."""
-    gold = gold_vector(gold_text, **tok_kw)
+    doc. One scan, zero shuffles — the plan is Project over the scan.
+
+    `stem` defaults to True because the reference Model.createDocVector
+    applies PORTERSTEM_FILTER unconditionally on both the unigram and
+    n-gram paths (cosine/Model.java); pass stem=False only when a pure
+    Column (no pandas UDF) plan is required."""
+    gold = gold_vector(gold_text, stem=stem, **tok_kw)
     return docs.withColumn(
-        out_col, cosine_to_gold(F.col(text_col), gold, **tok_kw)
+        out_col, cosine_to_gold(F.col(text_col), gold, stem=stem, **tok_kw)
     )
 
 
-def similarity_hooks(gold_text: str, **tok_kw) -> ScoringHooks:
-    """ScoringHooks for the similarity plugin, hook-for-hook faithful:
+def similarity_hooks(gold_text: str, *, stem: bool = True, **tok_kw) -> ScoringHooks:
+    """ScoringHooks for the similarity plugin, hook-for-hook faithful.
+
+    `stem` defaults to True — the reference's Model.createDocVector
+    stems unconditionally (see similarity_scores).
 
     - pass_score_after_parsing → the page↔gold cosine (replaces the
       incoming score; SimilarityScoringFilter.java:55-61)
@@ -374,10 +384,10 @@ def similarity_hooks(gold_text: str, **tok_kw) -> ScoringHooks:
     parse_data rows (crawl_parse_from), mirroring how the reference
     hook receives the Parse object rather than a score.
     """
-    gold = gold_vector(gold_text, **tok_kw)
+    gold = gold_vector(gold_text, stem=stem, **tok_kw)
     return ScoringHooks(
         pass_score_after_parsing=lambda score: cosine_to_gold(
-            F.col("text"), gold, **tok_kw
+            F.col("text"), gold, stem=stem, **tok_kw
         ),
         distribute_score_to_outlinks=lambda score, valid_count, factor: score,
         generator_sort_value=lambda score, init_sort=1.0: _as_score_col(init_sort),

@@ -2113,7 +2113,12 @@ def q_score_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _views(spark, sf_dir, ["documents"])
     docs = spark.table("documents").select(F.col("doc_id").cast("long"), "text")
-    return similarity_scores(docs, SIMILARITY_GOLD).select("doc_id", "sim")
+    # stem=False: the gate needs the pure-Column tokenizer so the DuckDB
+    # oracle can replicate it in SQL (Porter stemming is not expressible
+    # there); the public API defaults to the reference's stem=True.
+    return similarity_scores(docs, SIMILARITY_GOLD, stem=False).select(
+        "doc_id", "sim"
+    )
 
 
 def _similarity_oracle() -> str:

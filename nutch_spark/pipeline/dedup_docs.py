@@ -376,6 +376,20 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # the loop exhausted max_iterations with labels still moving:
+        # a component's diameter exceeds the budget and the returned
+        # labels would silently split that component — surface it.
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: label propagation did not converge within "
+            f"max_iterations={max_iterations}; a connected component has "
+            f"diameter > {max_iterations} and its labels are truncated. "
+            f"Raise max_iterations (rounds needed = component diameter).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -251,7 +251,10 @@ def create_app(spark, store, web=None, cfg=None):
         except Exception as e:  # report like JobInfo's FAILED state
             rec.update(state="FAILED", msg=str(e))
             return jsonify(rec), 500
-        return jsonify(stats_out)
+        # return the full job record (id included) so clients can
+        # correlate the run with its /job history entry, mirroring the
+        # FAILED path (reference JobResource returns the JobInfo).
+        return jsonify(rec)
 
     return app
 

@@ -67,14 +67,18 @@ def unreverse_url_col(rev: Column) -> Column:
     reverse_url_col — `com.foo.bar:http:8983/to/x?a=b` →
     `http://bar.foo.com:8983/to/x?a=b`. Faithful to the reference's
     first-'/' split, including its quirk that a query-only URL (no
-    path) folds the query into the protocol token."""
+    path) folds the query into the protocol token — and, like
+    TableUtil.unreverseUrl, appends a port ONLY when the pre-path head
+    splits into exactly 3 ':' tokens (splits.length == 3), so a
+    path-less reversed URL with extra ':' in the folded query gets no
+    port, quirk-for-quirk."""
     head = F.regexp_extract(rev, r"^([^/]*)", 1)
     path = F.regexp_extract(rev, r"(/.*)$", 1)
     parts = F.split(head, ":")
     host = F.array_join(
         F.reverse(F.split(parts.getItem(0), r"\.")), "."
     )
-    port = F.when(F.size(parts) >= 3, parts.getItem(2))
+    port = F.when(F.size(parts) == 3, parts.getItem(2))
     return F.concat(
         parts.getItem(1),
         F.lit("://"),

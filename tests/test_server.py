@@ -78,7 +78,10 @@ def test_seed_and_job_cycle(served, spark):
     r = client.post("/job/cycle", json={"depth": 1})
     assert r.status_code == 200
     out = r.get_json()
-    assert out["segment"] == "seg0001"
+    # success returns the full job record (id + result), mirroring the
+    # FAILED path, so clients can correlate with /job history
+    assert out["state"] == "FINISHED" and isinstance(out["id"], int)
+    assert out["result"]["segment"] == "seg0001"
     assert client.post("/seed", json={}).status_code == 400
 
 
@@ -113,9 +116,10 @@ def test_job_history_and_config_binding(served):
     client.post("/config/tiny", json={"topn": 2})
     r = client.post("/job/cycle", json={"depth": 1, "config": "tiny"})
     assert r.status_code == 200
-    stats = r.get_json()
-    # topn=2 bound from the named config caps the cycle's fetchlist
-    assert stats["generated"] <= 2
+    rec = r.get_json()
+    # topn=2 bound from the named config caps the cycle's fetchlist;
+    # success returns the full job record with stats under "result"
+    assert rec["result"]["generated"] <= 2
     hist = client.get("/job").get_json()
     assert len(hist) == 1 and hist[0]["state"] == "FINISHED"
     assert hist[0]["config"] == "tiny"
