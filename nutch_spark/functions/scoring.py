@@ -70,10 +70,74 @@ class ScoringHooks:
     )
     indexer_score: ColumnFn = _identity
 
+    # --- metadata-aware extension points (None = inactive; operators
+    # add the corresponding plan nodes only when a hook is set, so the
+    # default OPIC plan is unchanged). These exist because some
+    # reference plugins (scoring-depth is the shipped example) carry
+    # state through CrawlDatum.metaData rather than the score float:
+    #
+    #   injected_metadata(seed_meta) -> map          inject: decorate seed rows
+    #     (DepthScoringFilter.injectedScore writes _depth_/_maxdepth_)
+    #   generator_sort_value_meta(score, meta, init_sort) -> sort Column
+    #     (generatorSortValue reads datum.getMetaData())
+    #   outlink_gate(page_meta) -> boolean           parse: emit outlinks at all?
+    #     (distributeScoreToOutlinks may targets.clear())
+    #   outlink_metadata(page_meta) -> map           parse: per-target metadata
+    #     (distributeScoreToOutlinks decorates each target datum)
+    #   link_meta_agg(link_meta) -> orderable value  updatedb: min-aggregated
+    #     over a URL's linked datums (updateDbScore iterates `inlinked`)
+    #   update_db_metadata(result_meta, old_meta, link_agg) -> map
+    #     updatedb: rewrite the result row's metadata from the old row's
+    #     metadata and the aggregate (updateDbScore writes the result)
+    injected_metadata: ColumnFn | None = None
+    generator_sort_value_meta: ColumnFn | None = None
+    outlink_gate: ColumnFn | None = None
+    outlink_metadata: ColumnFn | None = None
+    link_meta_agg: ColumnFn | None = None
+    update_db_metadata: ColumnFn | None = None
+
 
 OPIC = ScoringHooks()
 
-_REGISTRY: dict[str, ScoringHooks] = {"opic": OPIC}
+
+def link_analysis_hooks(normalized_score: float = 1.0) -> ScoringHooks:
+    """scoring-link plugin (LinkAnalysisScoringFilter.java) — the
+    webgraph-score-consuming twin of scoring-opic. The CrawlDb score is
+    NOT crawl-derived: ScoreUpdater writes the webgraph/linkrank score
+    into the frontier (operators/linkdb.py update_scores), and this
+    filter only *reads* it:
+
+      - injectedScore: no-op (seed scores untouched)
+      - initialScore: 0.0 for brand-new URLs
+      - generatorSortValue: score × initSort — same formula as OPIC but
+        over the linkrank-written score, so generate ordering follows
+        link analysis, not OPIC cash flow
+      - distributeScoreToOutlinks: returns adjust untouched and leaves
+        targets at the CrawlDatum default score 0.0 (linkrank will
+        score them once they enter the webgraph)
+      - updateDbScore: no-op — the merged row keeps its base score,
+        with NO inlink-contribution sum added
+      - indexerScore: normalizedScore × dbDatum score
+        (link.analyze.normalize.score, default 1.0)
+    """
+    ns = float(normalized_score)
+    return ScoringHooks(
+        injected_score=_identity,
+        initial_score=lambda link_score=None: F.lit(0.0),
+        generator_sort_value=lambda score, init_sort=1.0: score
+        * _as_score_col(init_sort),
+        distribute_score_to_outlinks=lambda score, valid_count, factor: F.lit(
+            0.0
+        ),
+        update_db_score=lambda base, link_adjust: base,
+        indexer_score=lambda score: F.lit(ns) * score,
+    )
+
+
+_REGISTRY: dict[str, ScoringHooks] = {
+    "opic": OPIC,
+    "link": link_analysis_hooks(),
+}
 
 
 def register(name: str, hooks: ScoringHooks) -> None:

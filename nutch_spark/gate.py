@@ -2306,6 +2306,267 @@ WHERE mime_type IN ('text/html', 'application/pdf')
 
 
 # ---------------------------------------------------------------------
+# score_depth — scoring-depth plugin (DepthScoringFilter.java): a
+# depth-2-bounded two-cycle crawl over synthetic pages, with 1/3 of the
+# seeds carrying a seed-file _maxdepth_=3 override. Exercises
+# injectedScore (depth stamping), distributeScoreToOutlinks (outlink
+# gate + target decorate), and updateDbScore (min-depth merge +
+# first-link metadata inheritance). Depth/maxdepth columns are
+# integer-exact; scores are exact powers of two.
+# ---------------------------------------------------------------------
+
+_DEPTH_T1 = CUR_MS + 1000
+_DEPTH_T2 = CUR_MS + 2000
+
+# seeds from customer keys; every third customer gets a bigger budget
+DEPTH_SEEDS_SQL = f"""
+SELECT {_url('c_custkey * 3')} AS url,
+       case when c_custkey % 3 = 0 then '3' end AS custom
+FROM customer
+"""
+
+
+def _depth_children(url_col, base: int):
+    """Two child outlinks per page, keys 2k+base and 2k+base+1 of the
+    page's url key — same derivation the oracle mirrors in SQL."""
+    k = F.regexp_extract(url_col, r"/p/(\d+)$", 1).cast("long")
+    return [k * 2 + F.lit(base), k * 2 + F.lit(base + 1)]
+
+
+def _child_url(key_col):
+    return F.concat(
+        F.lit("http://host"),
+        (key_col % 97).cast("string"),
+        F.lit(".example"),
+        (key_col % 3).cast("string"),
+        F.lit(".com/p/"),
+        key_col.cast("string"),
+    )
+
+
+def _depth_parse_data(pages: DataFrame, base: int) -> DataFrame:
+    """Shape frontier rows as parse_data: each page 'parses' into two
+    child outlinks (crawl_parse_from applies the REAL plugin hooks)."""
+    kids = _depth_children(F.col("url"), base)
+    return pages.select(
+        "url",
+        "host",
+        "score",
+        F.md5(F.col("url")).alias("signature"),
+        F.array(
+            *[
+                F.struct(
+                    _child_url(k).alias("to_url"),
+                    F.lit("a").alias("anchor"),
+                    F.lit("link").alias("kind"),
+                    F.lit(i + 1).alias("link_order"),
+                )
+                for i, k in enumerate(kids)
+            ]
+        ).alias("outlinks"),
+        F.lit(True).alias("is_canonical"),
+        F.col("fetch_time"),
+        "metadata",
+    )
+
+
+def _empty_redirects(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [], "url string, status int, redirect_to string"
+    )
+
+
+def q_score_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.depth import DEPTH_KEY, MAX_DEPTH_KEY, depth_hooks
+    from .operators.inject import inject
+    from .operators.parse import crawl_parse_from
+    from .operators.updatedb import updatedb
+
+    _views(spark, sf_dir, ["customer"])
+    hooks = depth_hooks(max_depth=2)
+    seeds = spark.sql(DEPTH_SEEDS_SQL).select(
+        "url",
+        F.when(
+            F.col("custom").isNotNull(),
+            F.create_map(F.lit(MAX_DEPTH_KEY), F.col("custom")),
+        ).alias("metadata"),
+    )
+    # localCheckpoint between cycles: chained full-outer merges grow
+    # the logical plan multiplicatively (same reason the crawl driver
+    # cuts lineage per cycle)
+    fr0 = inject(spark, None, seeds, CUR_MS, hooks=hooks).localCheckpoint()
+
+    # cycle 1: every seed page parses into two children; depth-1 pages
+    # pass the gate, targets stamped depth 2 (+ inherited budget)
+    cp1 = crawl_parse_from(
+        _depth_parse_data(fr0, 600_000), _empty_redirects(spark),
+        hooks=hooks,
+    )
+    fr1 = updatedb(
+        spark, fr0, None, cp1, _DEPTH_T1, hooks=hooks
+    ).localCheckpoint()
+
+    # cycle 2: only the NEW segment (the children) parses; default-
+    # budget children sit at depth = maxdepth = 2 and are gated, the
+    # _maxdepth_=3 lineage emits one more generation
+    kids1 = fr1.join(fr0.select("url"), "url", "left_anti")
+    cp2 = crawl_parse_from(
+        _depth_parse_data(kids1, 700_000), _empty_redirects(spark),
+        hooks=hooks,
+    )
+    fr2 = updatedb(spark, fr1, None, cp2, _DEPTH_T2, hooks=hooks)
+
+    return fr2.select(
+        "url",
+        F.col("status").cast("long").alias("status"),
+        F.element_at("metadata", DEPTH_KEY).cast("long").alias("depth"),
+        F.element_at("metadata", MAX_DEPTH_KEY)
+        .cast("long")
+        .alias("maxdepth"),
+        F.col("score").cast("double").alias("score"),
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+    )
+
+
+# seeds: depth 1, budget coalesce(custom, 2), score 1.0 (injected),
+# passthrough rows (no fetch). children: one inlink each → score =
+# parent 1.0 / 2 outlinks = 0.5, depth 2, inherited budget, created at
+# T1. grandchildren exist only under budget-3 children: score 0.25,
+# depth 3, created at T2. All rows db_unfetched (status 1).
+ORACLE_SCORE_DEPTH = f"""
+WITH s AS (
+  SELECT c_custkey * 3 AS k,
+         coalesce(case when c_custkey % 3 = 0 then 3 end, 2) AS maxdepth
+  FROM customer
+),
+ck AS (
+  SELECT k * 2 + 600000 + i.i AS ckey, maxdepth
+  FROM s CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) i
+),
+gk AS (
+  SELECT ckey * 2 + 700000 + i.i AS gkey
+  FROM ck CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) i
+  WHERE maxdepth = 3
+),
+seeds AS (
+  SELECT {_url('k')} AS url, 1 AS depth, maxdepth,
+         cast(1.0 as double) AS score, cast({CUR_MS} as bigint) AS ft
+  FROM s
+),
+kids AS (
+  SELECT {_url('ckey')} AS url, 2 AS depth, maxdepth,
+         cast(0.5 as double) AS score, cast({_DEPTH_T1} as bigint) AS ft
+  FROM ck
+),
+gkids AS (
+  SELECT {_url('gkey')} AS url, 3 AS depth, 3 AS maxdepth,
+         cast(0.25 as double) AS score, cast({_DEPTH_T2} as bigint) AS ft
+  FROM gk
+)
+SELECT url, cast(1 as bigint) AS status, cast(depth as bigint) AS depth,
+       cast(maxdepth as bigint) AS maxdepth, score,
+       ft AS fetch_time
+FROM (
+  SELECT * FROM seeds UNION ALL SELECT * FROM kids
+  UNION ALL SELECT * FROM gkids
+) allrows
+"""
+
+
+# ---------------------------------------------------------------------
+# score_link — scoring-link plugin (LinkAnalysisScoringFilter.java):
+# two legs tag-unioned. 'generate': the fetchlist ordered by the
+# webgraph score that ScoreUpdater wrote into the frontier (ordering
+# follows linkrank, NOT OPIC's crawl score). 'updatedb': the merge
+# under link scoring — updateDbScore is a no-op, so targeted old rows
+# KEEP their score (no inlink sum added) and brand-new linked rows
+# start at initialScore 0.0.
+# ---------------------------------------------------------------------
+
+
+def q_score_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scoring import link_analysis_hooks
+    from .operators.generate import generate
+    from .operators.linkdb import linkrank_quantized, update_scores
+    from .operators.updatedb import updatedb
+
+    hooks = link_analysis_hooks()
+    edges = links_df(spark, sf_dir).select("from_url", "to_url")
+    scores = linkrank_quantized(edges, iterations=3).select(
+        "url", F.col("score_units").cast("double").alias("score")
+    )
+    fr = update_scores(frontier_df(spark, sf_dir), scores)
+    fl = generate(
+        fr, CUR_MS, "seg0001", top_n=300, max_count=0, hooks=hooks
+    )
+    gen_leg = fl.select(
+        F.lit("generate").alias("part"),
+        "url",
+        F.lit(None).cast("long").alias("status"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+    upd = updatedb(
+        spark,
+        frontier_df(spark, sf_dir),
+        None,
+        crawl_parse_df(spark, sf_dir).filter(F.col("status") == 67),
+        CUR_MS,
+        hooks=hooks,
+    )
+    upd_leg = upd.select(
+        F.lit("updatedb").alias("part"),
+        "url",
+        F.col("status").cast("long").alias("status"),
+        F.col("score").cast("double").alias("score"),
+    )
+    return gen_leg.unionByName(upd_leg)
+
+
+def _score_link_oracle() -> str:
+    lr = _linkrank_oracle(iterations=3)
+    body = lr.split("WITH ", 1)[1]
+    ctes, tail = body.rsplit("\nSELECT", 1)
+    assert tail.startswith(" url, u AS score_units")
+    return (
+        "WITH " + ctes + f""",
+frontier AS ({FRONTIER_SQL}),
+upd AS (
+  SELECT f.url,
+    cast(cast(coalesce(cast(s3.u as double), 0.0) as float) as double)
+      AS score,
+    f.fetch_time, f.fetch_interval, f.url_hash
+  FROM frontier f LEFT JOIN s3 ON f.url = s3.url
+),
+due AS (
+  SELECT * FROM upd
+  WHERE fetch_time - {CUR_MS} > 7776000000 OR fetch_time <= {CUR_MS}
+),
+gen AS (
+  SELECT 'generate' AS part, url, cast(NULL as bigint) AS status, score
+  FROM due ORDER BY score DESC, url_hash ASC LIMIT 300
+),
+linked AS ({LINKED_SQL}),
+lagg AS (SELECT url, count(*) AS n FROM linked GROUP BY url),
+updleg AS (
+  SELECT 'updatedb' AS part, f.url,
+         cast(f.status as bigint) AS status,
+         cast(f.score as double) AS score
+  FROM frontier f
+  UNION ALL
+  SELECT 'updatedb', l.url, cast(1 as bigint), cast(0.0 as double)
+  FROM lagg l LEFT JOIN frontier f ON l.url = f.url
+  WHERE f.url IS NULL
+)
+SELECT * FROM gen UNION ALL SELECT * FROM updleg
+"""
+    )
+
+
+ORACLE_SCORE_LINK = _score_link_oracle()
+
+
+# ---------------------------------------------------------------------
 # merged gates — the driver correctness-checks at most 50 queries, so
 # gates that share an input scan and a natural key are merged into one
 # row each: the merged Spark query unions/joins the SAME operator
@@ -2463,6 +2724,8 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "index_plugins": (q_index_plugins, ORACLE_INDEX_PLUGINS),
     "index_actions": (q_index_actions, ORACLE_INDEX_ACTIONS),
     "score_similarity": (q_score_similarity, ORACLE_SCORE_SIMILARITY),
+    "score_depth": (q_score_depth, ORACLE_SCORE_DEPTH),
+    "score_link": (q_score_link, ORACLE_SCORE_LINK),
     "parsefilter_regex": (q_parsefilter_regex, ORACLE_PARSEFILTER_REGEX),
     "file_dump": (q_file_dump, ORACLE_FILE_DUMP),
 }

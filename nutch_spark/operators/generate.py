@@ -91,7 +91,14 @@ def generate(
         clamped_interval(F.col("fetch_time"), F.col("fetch_interval"), due_ms, max_interval),
     )
 
-    sort_val = hooks.generator_sort_value(F.col("score"))
+    # metadata-aware sort hook (scoring-depth boosts shallow pages from
+    # the datum's _depth_/_maxdepth_ keys) takes precedence when set
+    if hooks.generator_sort_value_meta is not None:
+        sort_val = hooks.generator_sort_value_meta(
+            F.col("score"), F.col("metadata")
+        )
+    else:
+        sort_val = hooks.generator_sort_value(F.col("score"))
 
     # per-host/domain cap with the reference's keep counts
     if max_count > 0:

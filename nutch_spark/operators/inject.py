@@ -79,6 +79,12 @@ def prepare_seeds(
         F.element_at("metadata", META_INTERVAL_KEY).cast("int"),
         F.lit(Defaults.FETCH_INTERVAL),
     )
+    if hooks.injected_metadata is not None:
+        # metadata half of ScoringFilter.injectedScore (scoring-depth
+        # stamps _depth_=1 and the _maxdepth_ budget on every seed)
+        s = s.withColumn(
+            "metadata", hooks.injected_metadata(F.col("metadata"))
+        )
     return s.select(
         F.col("url"),
         url_hash_col(F.col("url")).alias("url_hash"),

@@ -225,6 +225,9 @@ def extract_pages(
         "segment",
         "spans",
         "fetch_time",
+        # fetch-datum metadata rides along (contentMeta hop — carries
+        # e.g. scoring-depth's _depth_/_maxdepth_ into parse_data)
+        "metadata",
         _once(_text_col()).alias("text"),
         _once(_raw_outlinks_col()).alias("raw_outlinks"),
         F.lit(True).alias("is_canonical"),
@@ -252,6 +255,10 @@ def extract_pages(
             "segment",
             F.array().cast(_EMPTY_SPANS).alias("spans"),
             "fetch_time",
+            # sub-entries carry no datum metadata (a fresh ParseData) —
+            # under scoring-depth their outlinks are dropped like the
+            # reference's missing-depth warning path
+            F.lit(None).cast("map<string,string>").alias("metadata"),
             F.trim(F.regexp_replace(sub_text_raw, HREF_RE, "")).alias("text"),
             F.regexp_extract_all(
                 sub_text_raw, F.lit(HREF_RE), F.lit(1)
@@ -324,6 +331,7 @@ def finish_pages(
         "spans",
         "fetch_time",
         "is_canonical",
+        "metadata",
         "text",
         "signature",
         F.transform(
@@ -359,6 +367,7 @@ def finish_pages(
         F.col("score").cast("float").alias("score"),
         "fetch_time",
         "is_canonical",
+        "metadata",
     )
     if parse_filters is not None:
         # HtmlParseFilter chain (HtmlParseFilters.java): adds the
@@ -393,6 +402,10 @@ def crawl_parse_from(
         pages = pages.withColumn("is_canonical", F.lit(True)).withColumn(
             "fetch_time", F.lit(None).cast("long")
         )
+    if "metadata" not in pages.columns:  # legacy stored parse_data
+        pages = pages.withColumn(
+            "metadata", F.lit(None).cast("map<string,string>")
+        )
     factor = F.when(
         host_of(F.col("o.to_url")) == F.col("host"),
         F.lit(float(score_internal)),
@@ -407,13 +420,29 @@ def crawl_parse_from(
     page_score = hooks.pass_score_after_parsing(
         hooks.pass_score_before_parsing(F.col("score"))
     )
+    link_pages = pages.filter(F.col("valid_count") > 0)
+    if hooks.outlink_gate is not None:
+        # a metadata-gated scorer (scoring-depth) may clear ALL of a
+        # page's outlinks (DepthScoringFilter.java:60-80 targets.clear)
+        link_pages = link_pages.filter(
+            hooks.outlink_gate(F.col("metadata"))
+        )
+    # per-target metadata from the page's metadata (scoring-depth puts
+    # depth+1 on each target); evaluated per page, pre-explode
+    target_meta = (
+        hooks.outlink_metadata(F.col("metadata"))
+        if hooks.outlink_metadata is not None
+        else F.lit(None).cast("map<string,string>")
+    )
     linked = (
-        pages.filter(F.col("valid_count") > 0)
+        link_pages
         .withColumn("_page_score", page_score)
+        .withColumn("_target_meta", target_meta)
         .select(
             "url",
             "host",
             "_page_score",
+            "_target_meta",
             "valid_count",
             F.explode("outlinks").alias("o"),
         )
@@ -429,7 +458,7 @@ def crawl_parse_from(
             F.lit(None).cast("string").alias("signature"),
             F.col("o.anchor").alias("anchor"),
             F.col("url").alias("from_url"),
-            F.lit(None).cast("map<string,string>").alias("metadata"),
+            F.col("_target_meta").alias("metadata"),
             F.lit(None).cast("long").alias("fetch_time"),
         )
         .withColumnRenamed("out_url", "url")
@@ -586,6 +615,7 @@ def _slow_outlink_pipeline(
             "spans",
             "fetch_time",
             "is_canonical",
+            "metadata",
             "text",
             "signature",
             F.coalesce("outlinks", empty_outlinks).alias("outlinks"),

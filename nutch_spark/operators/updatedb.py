@@ -165,9 +165,38 @@ def updatedb(
         # and re-rank ONLY the over-cap URLs — normally none, and when a
         # mega-page exists this confines the sort to exactly the skewed
         # keys.
+        # metadata-aware scorers (scoring-depth) aggregate a per-link
+        # metadata value with min (updateDbScore iterates `inlinked` for
+        # the smallest depth). Computed over ALL links, not the top-K
+        # capped list — diverges only past max_inlinks (doc'd in
+        # functions/depth.py).
+        meta_aggs = []
+        if hooks.link_meta_agg is not None:
+            meta_aggs.append(
+                F.min(hooks.link_meta_agg(F.col("metadata"))).alias(
+                    "link_meta_min"
+                )
+            )
+        if hooks.update_db_metadata is not None:
+            # brand-new linked-only rows inherit the promoted first-link
+            # datum's metadata (CrawlDbReducer.java:150-153 makes
+            # linked.get(0) — the max-score link — the result datum, so
+            # its whole metadata map survives; scoring-depth's
+            # _maxdepth_ budget propagates this way). Tie-break on
+            # (from_url, anchor) for determinism where the reference's
+            # queue order is arbitrary.
+            meta_aggs.append(
+                F.max_by(
+                    F.col("metadata"),
+                    F.struct(
+                        F.col("score"), F.col("from_url"), F.col("anchor")
+                    ),
+                ).alias("link_meta_first")
+            )
         agg0 = lk.groupBy("url").agg(
             F.sum("score").alias("_sum_all"),
             F.count("*").alias("link_count"),
+            *meta_aggs,
             # the promoted first-link datum is the HIGHEST-score link
             # (InlinkPriorityQueue pops lowest first, the reversed
             # linkList's get(0) is the max — CrawlDbReducer.java:
@@ -208,6 +237,16 @@ def updatedb(
                 .alias("link_count"),
                 F.col("link_max").cast("float").alias("link_max"),
                 "link_repr",
+                *(
+                    ["link_meta_min"]
+                    if hooks.link_meta_agg is not None
+                    else []
+                ),
+                *(
+                    ["link_meta_first"]
+                    if hooks.update_db_metadata is not None
+                    else []
+                ),
             )
         )
         sigs = (
@@ -232,6 +271,15 @@ def updatedb(
         j = j.join(sigs, "url", "left_outer")
     else:
         j = j.withColumn("parse_signature", F.lit(None).cast("string"))
+    if hooks.link_meta_agg is not None and "link_meta_min" not in j.columns:
+        j = j.withColumn("link_meta_min", F.lit(None))
+    if (
+        hooks.update_db_metadata is not None
+        and "link_meta_first" not in j.columns
+    ):
+        j = j.withColumn(
+            "link_meta_first", F.lit(None).cast("map<string,string>")
+        )
     if repartition_on:
         j = j.repartition(repartition_on, "url")
 
@@ -419,8 +467,22 @@ def updatedb(
             repr_entry,
         ),
     ).otherwise(F.coalesce(F.col("o.metadata"), _empty_meta()))
+    # brand-new linked-only rows: default path carries only the repr
+    # entry; with a metadata-carrying scorer active they inherit the
+    # promoted first-link datum's metadata (repr still overrides)
+    if hooks.update_db_metadata is not None:
+        linked_new_meta = F.map_concat(
+            F.map_filter(
+                F.coalesce(F.col("link_meta_first"), _empty_meta()),
+                lambda k, _v: k != META_REPR_URL,
+            ),
+            repr_entry,
+        )
+    else:
+        linked_new_meta = repr_entry
     out_meta = branch(
-        seed_meta, seed_meta, seed_meta, linked_old_meta, repr_entry, seed_meta
+        seed_meta, seed_meta, seed_meta, linked_old_meta, linked_new_meta,
+        seed_meta,
     )
 
     # ScoringFilter.updateDbScore / initialScore hook points
@@ -436,6 +498,19 @@ def updatedb(
 
     # strip generate-time marker from every updated row
     out_meta = F.map_filter(out_meta, lambda k, _v: k != META_GENERATE_TIME)
+
+    # metadata-rewrite hook point (the metadata half of
+    # ScoringFilter.updateDbScore — scoring-depth writes the new min
+    # depth into the result row); runs only on rows with new data,
+    # like the reference's reducer path (CrawlDbReducer.java:311)
+    if hooks.update_db_metadata is not None:
+        out_meta = hooks.update_db_metadata(
+            out_meta,
+            F.when(old_set, F.col("o.metadata")),
+            F.col("link_meta_min")
+            if hooks.link_meta_agg is not None
+            else F.lit(None),
+        )
 
     has_new_data = fetch_set | has_links
     updated = F.struct(

@@ -116,6 +116,12 @@ PARSE_DATA = T.StructType(
         # ParseImpl.isCanonical flag — false for sub-document entries
         T.StructField("fetch_time", T.LongType()),
         T.StructField("is_canonical", T.BooleanType()),
+        # fetch-datum metadata carried through parse (the reference's
+        # contentMeta hop: passScoreBeforeParsing stashes datum keys
+        # like scoring-depth's _depth_ in Content metadata, and
+        # passScoreAfterParsing copies them to parse metadata —
+        # DepthScoringFilter.java:160-183); null for sub-entries
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
     ]
 )
 

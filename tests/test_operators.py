@@ -116,7 +116,7 @@ def parse_data_df(spark, pages):
         rows.append(Row(url=url, title="t", text="x", signature="s",
                         outlinks=outlinks, spans=None, segment="s",
                         host=None, score=1.0, fetch_time=None,
-                        is_canonical=True))
+                        is_canonical=True, metadata=None))
     return spark.createDataFrame(rows, PARSE_DATA)
 
 
@@ -150,7 +150,8 @@ def test_invert_links_cap_and_anchor_trunc(spark):
     mod = Row(url=row.url, title=row.title, text=row.text, signature=row.signature,
               outlinks=[Row(to_url="http://t.example.com/x", anchor="A" * 300,
                             kind="link", link_order=1)], spans=None, segment="s",
-              host=None, score=1.0, fetch_time=None, is_canonical=True)
+              host=None, score=1.0, fetch_time=None, is_canonical=True,
+              metadata=None)
     out = invert_links(spark.createDataFrame([mod], PARSE_DATA)).collect()[0]
     assert len(out.inlinks[0].anchor) == 100
 
