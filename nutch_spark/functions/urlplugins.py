@@ -101,6 +101,14 @@ class RegexNormalizer:
             url = pat.sub(sub, url)
         return url
 
+    def series(self, s: pd.Series) -> pd.Series:
+        """Vectorized: one whole-Series s///g pass PER RULE — a loop
+        over ~7 ordered rules instead of a Python call per URL
+        (`Series.str.replace` runs the same `re.sub`)."""
+        for pat, sub in self._rules:
+            s = s.str.replace(pat, sub, regex=True)
+        return s
+
 
 def parse_host_rules(text: str) -> tuple[dict, dict]:
     """conf/host-urlnormalizer.txt lines: `host replacement`;
@@ -153,6 +161,32 @@ class HostNormalizer:
                 return scheme + self.wildcard[dom] + rest
         return url
 
+    def series(self, s: pd.Series) -> pd.Series:
+        """Vectorized: extract hosts once, resolve each DISTINCT host
+        through the rule maps (crawl batches have few hosts relative to
+        URLs), rebuild only the rows whose host changed."""
+        ext = s.str.extract(_HOST_SPLIT_RE)
+        host = ext[1].str.lower()
+        uniq = host.dropna().unique()
+        repl = {}
+        for h in uniq:
+            if h in self.exact:
+                repl[h] = self.exact[h]
+                continue
+            parts = h.split(".")
+            for i in range(1, len(parts)):
+                dom = ".".join(parts[i:])
+                if dom in self.wildcard:
+                    repl[h] = self.wildcard[dom]
+                    break
+        if not repl:
+            return s
+        new_host = host.map(repl)
+        mask = new_host.notna()
+        out = s.copy()
+        out[mask] = ext[0][mask] + new_host[mask] + ext[2][mask]
+        return out
+
 
 # ---------------------------------------------------------------------
 # ajax / protocol / querystring / slash / pass normalizers
@@ -198,6 +232,18 @@ class AjaxNormalizer:
         if AJAX_URL_PART in url:
             return self._hashed_to_escaped(url)
         return url
+
+    def series(self, s: pd.Series) -> pd.Series:
+        """Vectorized pre-screen: AJAX-scheme URLs are rare — only rows
+        containing '#!' (or the escaped marker) pay the Python rewrite."""
+        cand = s.str.contains(AJAX_URL_PART, regex=False, na=False)
+        if self.indexer:
+            cand |= s.str.contains(ESCAPED_URL_PART, regex=False, na=False)
+        if not cand.any():
+            return s
+        out = s.copy()
+        out[cand] = [self(v) for v in s[cand]]
+        return out
 
     @staticmethod
     def _escape(frag: str) -> str:
@@ -276,6 +322,21 @@ class ProtocolNormalizer:
             out += "?" + query
         return out
 
+    def series(self, s: pd.Series) -> pd.Series:
+        """Vectorized pre-screen: only rows whose host has a protocol
+        rule pay the Python rebuild."""
+        if not self.protocols:
+            return s
+        host = (
+            s.str.extract(_HOST_SPLIT_RE)[1].str.lower()
+        )
+        cand = host.isin(self.protocols.keys())
+        if not cand.any():
+            return s
+        out = s.copy()
+        out[cand] = [self(v) for v in s[cand]]
+        return out
+
 
 class QuerystringNormalizer:
     """Sort query-string parameters so permutations collapse to one URL
@@ -293,6 +354,16 @@ class QuerystringNormalizer:
         )
         if ref is not None:
             out += "#" + ref
+        return out
+
+    def series(self, s: pd.Series) -> pd.Series:
+        """Vectorized pre-screen: a sort can only change URLs with ≥ 2
+        query parameters — only `?…&` rows pay the Python rebuild."""
+        cand = s.str.contains(r"\?[^#]*&", regex=True, na=False)
+        if not cand.any():
+            return s
+        out = s.copy()
+        out[cand] = [self(v) for v in s[cand]]
         return out
 
 
@@ -344,10 +415,26 @@ class SlashNormalizer:
             out += "?" + query
         return out
 
+    def series(self, s: pd.Series) -> pd.Series:
+        """Vectorized pre-screen: only rows whose host has a slash rule
+        pay the Python rebuild."""
+        if not self.rules:
+            return s
+        host = s.str.extract(_HOST_SPLIT_RE)[1].str.lower()
+        cand = host.isin(self.rules.keys())
+        if not cand.any():
+            return s
+        out = s.copy()
+        out[cand] = [self(v) for v in s[cand]]
+        return out
+
 
 def pass_normalizer(url: str | None) -> str | None:
     """urlnormalizer-pass: the identity chain element."""
     return url
+
+
+pass_normalizer.series = lambda s: s  # vectorized identity
 
 
 # ---------------------------------------------------------------------
@@ -365,6 +452,26 @@ SCOPE_OUTLINK = "outlink"
 SCOPE_INDEXER = "indexer"
 
 NormFn = Callable[[str | None], str | None]
+
+
+def _series_fn(fn: NormFn) -> Callable[[pd.Series], pd.Series]:
+    """Resolve a chain member's vectorized form: its own `series`
+    method, the basic normalizer's masked fast path, or a per-row map
+    (None stays None throughout, like the per-row chain)."""
+    if hasattr(fn, "series"):
+        return fn.series
+    if fn is normalize_url:
+        from .urls import _norm_series
+
+        return _norm_series
+
+    def _rowwise(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else fn(v) for v in s],
+            index=s.index, dtype=object,
+        )
+
+    return _rowwise
 
 
 @dataclass
@@ -403,13 +510,29 @@ class ScopedNormalizers:
                 break
         return url
 
+    def apply_series(self, s: pd.Series, scope: str = SCOPE_DEFAULT) -> pd.Series:
+        """Vectorized chain application: each member normalizes the
+        WHOLE batch (its `series` method runs per-rule Series ops or a
+        masked-subset Python fallback); members without one fall back
+        to a per-row map. The change-driven loop runs at batch level —
+        identical semantics to the reference's per-URL loop, because
+        re-applying the chain to an already-fixed URL is a no-op, so
+        iterating until the whole batch is fixed (≤ loop_count) gives
+        every row exactly its per-row fixed point."""
+        chain = [_series_fn(fn) for fn in self.chain_for(scope)]
+        for _ in range(max(1, self.loop_count)):
+            before = s
+            for fn in chain:
+                s = fn(s)
+            if s.equals(before):  # all rows at their fixed point
+                break
+        return s
+
     def udf(self, scope: str = SCOPE_DEFAULT):
         """Arrow-batched pandas UDF applying this scope's chain."""
 
         def _apply(s: pd.Series) -> pd.Series:
-            return pd.Series(
-                [self.normalize(v, scope) for v in s], index=s.index
-            )
+            return self.apply_series(s, scope)
 
         return F.pandas_udf(_apply, T.StringType())
 
@@ -440,6 +563,16 @@ class PrefixFilter:
 
     def __call__(self, url: str | None) -> bool:
         return url is not None and url.startswith(self.prefixes)
+
+    def series(self, s: pd.Series) -> pd.Series:
+        return s.str.startswith(self.prefixes, na=False)
+
+    def column(self, url_col):
+        """Pure-JVM predicate (usable inside array lambdas)."""
+        out = F.lit(False)
+        for p in self.prefixes:
+            out = out | url_col.startswith(p)
+        return url_col.isNotNull() & out
 
 
 _PATH_RE = re.compile(r"\A[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", re.I)
@@ -494,6 +627,39 @@ class SuffixFilter:
         #                   empty list ⇒ reject everything
         return (not matched) if self.mode_accept else matched
 
+    def series(self, s: pd.Series) -> pd.Series:
+        u = s.str.lower() if self.ignore_case else s
+        if self.filter_from_path:
+            path = u.str.extract(_PATH_RE, expand=False)
+            u = path.where(path.notna(), u)
+        matched = (
+            u.str.endswith(self.suffixes, na=False)
+            if self.suffixes
+            else pd.Series(False, index=s.index)
+        )
+        out = ~matched if self.mode_accept else matched
+        return out & s.notna()
+
+    def column(self, url_col):
+        """Pure-JVM predicate; same decisions as __call__."""
+        u = F.lower(url_col) if self.ignore_case else url_col
+        if self.filter_from_path:
+            # regexp_extract returns '' both for no-match and an empty
+            # group; the per-row code keeps the whole string on
+            # no-match, so gate on a scheme check first
+            is_url = u.rlike(r"\A[a-z][a-z0-9+.\-]*://")
+            u = F.when(
+                is_url,
+                F.regexp_extract(
+                    u, r"\A[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+                ),
+            ).otherwise(u)
+        matched = F.lit(False)
+        for sfx in self.suffixes:
+            matched = matched | u.endswith(sfx)
+        out = ~matched if self.mode_accept else matched
+        return url_col.isNotNull() & out
+
 
 class DomainFilter:
     """Accept if TLD-suffix, registered domain, or host is listed;
@@ -535,6 +701,57 @@ class DomainFilter:
         listed = self._listed(url)
         return not listed if self.blacklist else listed
 
+    def series(self, s: pd.Series) -> pd.Series:
+        """Vectorized: extract hosts once, decide each DISTINCT host
+        through the per-row logic (few hosts vs many URLs)."""
+        notna = s.notna()
+        if not self.domains:
+            return notna
+        from .urls import _HOST_RE, get_domain
+
+        host = s.str.extract(_HOST_RE, expand=False).str.lower()
+        host = host.str.rsplit("@", n=1).str[-1]
+
+        def _host_listed(h) -> bool:
+            if h is None or h != h:  # None / NaN
+                return False
+            domain = get_domain(h) or h
+            suffix = domain.split(".", 1)[1] if "." in domain else domain
+            return (
+                suffix in self.domains
+                or domain in self.domains
+                or h in self.domains
+            )
+
+        verdict = {h: _host_listed(h) for h in host.dropna().unique()}
+        listed = host.map(verdict).eq(True)  # NaN hosts → False
+        out = ~listed if self.blacklist else listed
+        return out & notna
+
+    def column(self, url_col):
+        """Pure-JVM predicate: host/registered-domain/suffix isin the
+        listed set — keeps a domain-filtered parse on the fast array
+        path (no pandas stage, no forced explode)."""
+        from .urls import domain_col, host_of
+
+        if not self.domains:
+            return url_col.isNotNull()
+        host = host_of(url_col)
+        domain = F.coalesce(domain_col(host), host)
+        dot = F.instr(domain, ".")
+        suffix = F.when(
+            dot > 0,
+            F.substring(domain, dot + F.lit(1), F.length(domain)),
+        ).otherwise(domain)
+        doms = sorted(self.domains)
+        listed = (
+            F.coalesce(suffix.isin(*doms), F.lit(False))
+            | F.coalesce(domain.isin(*doms), F.lit(False))
+            | F.coalesce(host.isin(*doms), F.lit(False))
+        )
+        out = ~listed if self.blacklist else listed
+        return url_col.isNotNull() & host.isNotNull() & out
+
 
 _VALID_URL_RE = re.compile(
     r"\A(?:https?|ftp)://"
@@ -552,6 +769,14 @@ class ValidatorFilter:
 
     def __call__(self, url: str | None) -> bool:
         return url is not None and _VALID_URL_RE.match(url) is not None
+
+    def series(self, s: pd.Series) -> pd.Series:
+        return s.str.match(_VALID_URL_RE, na=False)
+
+    def column(self, url_col):
+        # \A..\Z anchors are valid Java regex; rlike(find) + anchors
+        # ≙ fullmatch
+        return url_col.isNotNull() & url_col.rlike(_VALID_URL_RE.pattern)
 
 
 class RegexRuleFilter:
@@ -587,6 +812,32 @@ class RegexRuleFilter:
                 return sign
         return False
 
+    def series(self, s: pd.Series) -> pd.Series:
+        """Vectorized first-match-wins: one whole-Series contains() PER
+        RULE, masking already-decided rows out of later rules."""
+        out = pd.Series(False, index=s.index)
+        undecided = s.notna()
+        for sign, pat in self._rules:
+            if not undecided.any():
+                break
+            hit = undecided & s.str.contains(pat, na=False, regex=True)
+            if sign:
+                out |= hit
+            undecided &= ~hit
+        return out
+
+    def column(self, url_col):
+        """First-match-wins as a when() cascade of rlike's. The rule
+        patterns must live in the Python∩Java regex dialect (true for
+        the reference's rule files — the automaton plugin's grammar is
+        a strict subset of both)."""
+        out = F.lit(False)
+        for sign, pat in reversed(self._rules):
+            out = F.when(url_col.rlike(pat.pattern), F.lit(sign)).otherwise(
+                out
+            )
+        return url_col.isNotNull() & out
+
 
 class FilterChain:
     """Ordered filter conjunction — URLFilters.filter: the first filter
@@ -598,11 +849,55 @@ class FilterChain:
     def __call__(self, url: str | None) -> bool:
         return all(f(url) for f in self.filters)
 
+    def apply_series(self, s: pd.Series) -> pd.Series:
+        """Vectorized conjunction: each member votes on the whole batch
+        (its `series` method), short-circuiting rows already rejected;
+        members without one fall back to a per-row map over the still-
+        accepted subset."""
+        ok = s.notna()
+        for f in self.filters:
+            if not ok.any():
+                break
+            if hasattr(f, "series"):
+                ok &= f.series(s)
+            else:
+                sub = s[ok]
+                ok[ok] = pd.Series(
+                    [f(v) for v in sub], index=sub.index, dtype=bool
+                )
+        return ok
+
     def udf(self):
         def _apply(s: pd.Series) -> pd.Series:
-            return pd.Series([self(v) for v in s], index=s.index, dtype=bool)
+            return self.apply_series(s)
 
         return F.pandas_udf(_apply, T.BooleanType())
+
+    def column_or_none(self, url_col):
+        """Compile the whole chain to ONE pure-JVM Column predicate, or
+        None if any member has no `column` form. A compiled chain stays
+        inside whole-stage codegen and — crucially — is legal inside
+        array lambdas, so a filtered parse keeps the fast array path
+        instead of paying the explode→pandas→window slow pipeline."""
+        out = url_col.isNotNull()
+        for f in self.filters:
+            col = getattr(f, "column", None)
+            if col is None:
+                return None
+            out = out & F.coalesce(col(url_col), F.lit(False))
+        return out
+
+
+def filter_pred(url_filters, url_col):
+    """Best predicate form for a filter chain: the compiled pure-JVM
+    Column when every member supports it, else the vectorized pandas
+    UDF. Callers pass the chain and the URL Column; nulls are False."""
+    compile_ = getattr(url_filters, "column_or_none", None)
+    if compile_ is not None:
+        c = compile_(url_col)
+        if c is not None:
+            return F.coalesce(c, F.lit(False))
+    return url_filters.udf()(url_col)
 
 
 # ---------------------------------------------------------------------

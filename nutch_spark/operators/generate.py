@@ -68,7 +68,9 @@ def generate(
     if apply_filters:
         df = df.filter(accept_urls(F.col("url")))
     if url_filters is not None:
-        df = df.filter(url_filters.udf()(F.col("url")))
+        from ..functions.urlplugins import filter_pred
+
+        df = df.filter(filter_pred(url_filters, F.col("url")))
     if min_score is not None:
         df = df.filter(F.col("score") >= F.lit(float(min_score)))
     if predicate:

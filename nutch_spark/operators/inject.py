@@ -67,7 +67,9 @@ def prepare_seeds(
         .withColumn("metadata", meta)
     )
     if url_filters is not None:
-        s = s.filter(url_filters.udf()(F.col("url")))
+        from ..functions.urlplugins import filter_pred
+
+        s = s.filter(filter_pred(url_filters, F.col("url")))
     score = hooks.injected_score(
         F.coalesce(
             F.element_at("metadata", META_SCORE_KEY).cast("float"),

@@ -77,7 +77,9 @@ def merge_linkdbs(
     pass (crawl/LinkDbFilter.java) that -filter merges run."""
     u = a.unionByName(b)
     if url_filters is not None:
-        u = u.filter(url_filters.udf()(F.col("url")))
+        from ..functions.urlplugins import filter_pred
+
+        u = u.filter(filter_pred(url_filters, F.col("url")))
     flat = u.select("url", F.explode("inlinks").alias("i")).select(
         "url", F.col("i.from_url").alias("from_url"), F.col("i.anchor").alias("anchor")
     ).distinct()

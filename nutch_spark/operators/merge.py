@@ -49,7 +49,9 @@ def merge_crawldbs(
             .filter(F.col("url").isNotNull() & (F.col("url") != ""))
         )
     if url_filters is not None:
-        u = u.filter(url_filters.udf()(F.col("url")))
+        from ..functions.urlplugins import filter_pred
+
+        u = u.filter(filter_pred(url_filters, F.col("url")))
     w = Window.partitionBy("url").orderBy(
         F.desc("fetch_time"), F.desc("score"), F.asc("status")
     )
@@ -98,7 +100,9 @@ def merge_segments(
     -filter, segment/SegmentMerger.java)."""
     u = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), segments)
     if url_filters is not None:
-        u = u.filter(url_filters.udf()(F.col("url")))
+        from ..functions.urlplugins import filter_pred
+
+        u = u.filter(filter_pred(url_filters, F.col("url")))
     w = Window.partitionBy("url").orderBy(
         F.desc("fetch_time"), F.desc("segment")
     )

@@ -214,6 +214,10 @@ def extract_pages(
     (reference parse/ParseResult.java:137-139, ParseImpl.java:31-73).
     The canonical page row carries the input span array through
     UNTOUCHED (span-sequence invariant); sub-entries carry no spans."""
+    if "metadata" not in fetch_results.columns:  # minimal test inputs
+        fetch_results = fetch_results.withColumn(
+            "metadata", F.lit(None).cast("map<string,string>")
+        )
     ok = fetch_results.filter(F.col("status") == STATUS_FETCH_SUCCESS)
     if skip_truncated:
         # parser.skip.truncated (ParseSegment.java:112-116)
@@ -300,7 +304,22 @@ def finish_pages(
         ~F.exists(F.col("raw_outlinks"), lambda u: ~is_canonical(u)),
         F.lit(False),
     )
-    if normalizers is not None or url_filters is not None:
+    # a filter chain whose members all compile to Column predicates
+    # runs INSIDE the fast array path (whole-stage codegen, no pandas
+    # stage, no forced explode); only a chain with opaque-Python
+    # members forces the slow path
+    uf_col = (
+        url_filters.column_or_none(F.lit("probe"))
+        if url_filters is not None
+        and hasattr(url_filters, "column_or_none")
+        else None
+    )
+    uf_ok = (
+        (lambda u: F.coalesce(url_filters.column_or_none(u), F.lit(False)))
+        if uf_col is not None
+        else (lambda u: F.lit(True))
+    )
+    if normalizers is not None or (url_filters is not None and uf_col is None):
         all_canonical = F.lit(False)  # custom chain ⇒ always slow path
     fast = base.filter(all_canonical)
     ext_ok = (
@@ -314,7 +333,10 @@ def finish_pages(
         F.array_distinct(
             F.filter(
                 F.col("raw_outlinks"),
-                lambda u: accept_urls(u) & (u != F.col("url")) & ext_ok(u),
+                lambda u: accept_urls(u)
+                & (u != F.col("url"))
+                & ext_ok(u)
+                & uf_ok(u),
             )
         ),
         1,
@@ -564,7 +586,9 @@ def _slow_outlink_pipeline(
         & (F.col("to_url") != F.col("url"))
     )
     if url_filters is not None:
-        ex = ex.filter(url_filters.udf()(F.col("to_url")))
+        from ..functions.urlplugins import filter_pred
+
+        ex = ex.filter(filter_pred(url_filters, F.col("to_url")))
     if ignore_external:
         ex = ex.filter(
             _host_kind_filter(

@@ -399,3 +399,100 @@ def test_new_normalizers_compose_in_scoped_chain():
     )
     out = sn.normalize("HTTP://Example.org/#!k=v", SCOPE_OUTLINK)
     assert out == "http://example.org/?_escaped_fragment_=k=v"
+
+
+# ---------------------------------------------------------------------
+# vectorized-path equivalence: chain.apply_series must agree with the
+# per-row chain for every member type (the per-rule Series rewrite is
+# a pure optimization)
+# ---------------------------------------------------------------------
+
+
+def test_vectorized_normalizer_chain_matches_rowwise():
+    import pandas as pd
+
+    from nutch_spark.functions.urlplugins import (
+        AjaxNormalizer,
+        HostNormalizer,
+        ProtocolNormalizer,
+        QuerystringNormalizer,
+        RegexNormalizer,
+        ScopedNormalizers,
+        SlashNormalizer,
+        SCOPE_OUTLINK,
+    )
+    from nutch_spark.functions.urls import normalize_url
+
+    sn = ScopedNormalizers(loop_count=2)
+    sn.set_chain(
+        SCOPE_OUTLINK,
+        [
+            RegexNormalizer(),
+            HostNormalizer(
+                {"cdn.example.com": "www.example.com"},
+                {"mirror.org": "www.mirror.org"},
+            ),
+            AjaxNormalizer(),
+            ProtocolNormalizer({"secure.example.com": "https"}),
+            QuerystringNormalizer(),
+            SlashNormalizer({"slash.example.com": True}),
+            normalize_url,
+        ],
+    )
+    urls = [
+        "http://www.example.com/a?PHPSESSID=deadbeef&x=1",
+        "http://cdn.example.com/lib.js?b=2&a=1",
+        "http://a.mirror.org/path/",
+        "http://www.example.com/page#!state",
+        "http://secure.example.com/login",
+        "http://slash.example.com/dir",
+        "http://host.example.com//double//slash",
+        "HTTP://UPPER.example.COM:80/x",
+        "not a url",
+        None,
+        "http://www.example.com/ok/path",
+    ]
+    s = pd.Series(urls, dtype=object)
+    vec = sn.apply_series(s, SCOPE_OUTLINK)
+    row = [sn.normalize(u, SCOPE_OUTLINK) for u in urls]
+    got = [None if v != v or v is None else v for v in vec.tolist()]
+    assert got == row
+
+
+def test_vectorized_filter_chain_matches_rowwise():
+    import pandas as pd
+
+    from nutch_spark.functions.urlplugins import (
+        DomainFilter,
+        FilterChain,
+        PrefixFilter,
+        RegexRuleFilter,
+        SuffixFilter,
+        ValidatorFilter,
+    )
+
+    chain = FilterChain(
+        [
+            PrefixFilter(["http://", "https://"]),
+            SuffixFilter([".exe", ".zip"], mode_accept=True,
+                         filter_from_path=True, ignore_case=True),
+            DomainFilter(["example.com", "co.uk"]),
+            ValidatorFilter(),
+            RegexRuleFilter([(False, r"forbidden"), (True, r".")]),
+        ]
+    )
+    urls = [
+        "http://a.example.com/ok",
+        "https://example.com/setup.EXE",
+        "http://other.org/x",
+        "http://b.example.com/forbidden/path",
+        "http://shop.co.uk/item",
+        "ftp://example.com/f",
+        "http://example.com/sp ace",
+        None,
+        "",
+    ]
+    s = pd.Series(urls, dtype=object)
+    vec = chain.apply_series(s).tolist()
+    row = [chain(u) for u in urls]
+    assert vec == row
