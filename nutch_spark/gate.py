@@ -2567,6 +2567,97 @@ ORACLE_SCORE_LINK = _score_link_oracle()
 
 
 # ---------------------------------------------------------------------
+# parsefilter_nb — parsefilter-naivebayes (NaiveBayesParseFilter.java):
+# the trained two-class filter over derived pages with a clear class
+# margin. Relevant pages keep both outlinks; irrelevant pages keep
+# only the wordlist-matching one. The NB arithmetic itself is pinned
+# bit-exactly by tests/test_naivebayes.py (python ≡ Column parity +
+# hand-computed goldens); the oracle predicts the end-to-end verdicts
+# from the input derivation.
+# ---------------------------------------------------------------------
+
+NB_TRAIN_LINES = [
+    "1\talpha beta gamma delta",
+    "1\talpha beta epsilon",
+    "1\tgamma delta alpha",
+    "0\tnoise junk spam",
+    "0\tjunk spam filler noise",
+    "0\tspam noise filler",
+]
+
+# text by k % 3: 0 → clearly relevant; 1 → mixed but irrelevant-
+# dominated (true NB weighting, verified stable in tests); 2 → clearly
+# irrelevant
+NB_TEXT_CASE = (
+    "case o_orderkey % 3 "
+    "when 0 then 'alpha beta gamma alpha beta' "
+    "when 1 then 'alpha noise junk spam noise' "
+    "else 'noise junk spam noise junk' end"
+)
+
+
+def q_parsefilter_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parsefilters import (
+        NaiveBayesParseFilter,
+        ParseFilterChain,
+    )
+
+    _views(spark, sf_dir, ["orders"])
+    pages = spark.sql(
+        f"""
+        SELECT {_url('o_orderkey')} AS url,
+               {NB_TEXT_CASE} AS text,
+               concat({_url('o_orderkey')}, '/keep/a') AS link_keep,
+               concat({_url('o_orderkey')}, '/other/b') AS link_other
+        FROM orders
+        """
+    ).select(
+        "url",
+        "text",
+        F.array().cast(
+            "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        ).alias("spans"),
+        F.array(
+            F.struct(
+                F.col("link_keep").alias("to_url"),
+                F.lit("a").alias("anchor"),
+                F.lit("link").alias("kind"),
+                F.lit(1).alias("link_order"),
+            ),
+            F.struct(
+                F.col("link_other").alias("to_url"),
+                F.lit("b").alias("anchor"),
+                F.lit("link").alias("kind"),
+                F.lit(2).alias("link_order"),
+            ),
+        ).alias("outlinks"),
+    )
+    nb = NaiveBayesParseFilter.from_training(
+        NB_TRAIN_LINES, wordlist=["/keep/"]
+    )
+    out = ParseFilterChain((nb,)).apply(pages)
+    return out.select(
+        "url",
+        F.size("outlinks").cast("long").alias("n_outlinks"),
+        F.concat_ws(
+            ",", F.transform("outlinks", lambda o: o["to_url"])
+        ).alias("kept_urls"),
+    )
+
+
+ORACLE_PARSEFILTER_NB = f"""
+SELECT {_url('o_orderkey')} AS url,
+  cast(case when o_orderkey % 3 = 0 then 2 else 1 end as bigint)
+    AS n_outlinks,
+  case when o_orderkey % 3 = 0
+       then concat({_url('o_orderkey')}, '/keep/a', ',',
+                   {_url('o_orderkey')}, '/other/b')
+       else concat({_url('o_orderkey')}, '/keep/a') end AS kept_urls
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------
 # merged gates — the driver correctness-checks at most 50 queries, so
 # gates that share an input scan and a natural key are merged into one
 # row each: the merged Spark query unions/joins the SAME operator
@@ -2727,5 +2818,6 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "score_depth": (q_score_depth, ORACLE_SCORE_DEPTH),
     "score_link": (q_score_link, ORACLE_SCORE_LINK),
     "parsefilter_regex": (q_parsefilter_regex, ORACLE_PARSEFILTER_REGEX),
+    "parsefilter_nb": (q_parsefilter_nb, ORACLE_PARSEFILTER_NB),
     "file_dump": (q_file_dump, ORACLE_FILE_DUMP),
 }

@@ -21,9 +21,17 @@ bytes analogue: every span's text or media_ref in document order),
 "text" to the extracted text column — mirroring how the reference
 filter regexes the raw `content.getContent()` vs `parse.getText()`.
 
+parsefilter-naivebayes (NaiveBayesParseFilter.java) is the chain's
+trainable member: it classifies each page's extracted text with the
+two-class model in functions/naivebayes.py and, for an IRRELEVANT
+page, drops every outlink whose URL contains no wordlist word
+(containsWord, NaiveBayesParseFilter.java:100-108; outlink rewrite
+:155-195). It is a `transform`-style chain member — it rewrites the
+outlinks column rather than contributing parse_meta fields — and runs
+as a pure Column program (model tables as map literals).
+
 Out of scope (documented): parse-metatags and headings operate on
-HTML meta/hN tags that the synthetic span documents do not carry;
-parsefilter-naivebayes requires a trained model file.
+HTML meta/hN tags that the synthetic span documents do not carry.
 """
 
 from __future__ import annotations
@@ -88,10 +96,50 @@ class RegexParseFilter:
 
 
 @dataclass(frozen=True)
+class NaiveBayesParseFilter:
+    """parsefilter-naivebayes: classify the page text; an irrelevant
+    page keeps only wordlist-matching outlinks (substring contains,
+    like the reference's containsWord)."""
+
+    model: object  # functions.naivebayes.NaiveBayesModel
+    wordlist: tuple[str, ...] = ()
+
+    @classmethod
+    def from_training(
+        cls, lines: list[str], wordlist: Sequence[str]
+    ) -> "NaiveBayesParseFilter":
+        from ..functions.naivebayes import train
+
+        return cls(model=train(lines), wordlist=tuple(wordlist))
+
+    def url_listed(self, url: Column) -> Column:
+        out = F.lit(False)
+        for w in self.wordlist:
+            out = out | url.contains(w)
+        return out
+
+    def transform(
+        self, parse_data: DataFrame, text: Column, html: Column
+    ) -> DataFrame:
+        from ..functions.naivebayes import relevant_col
+
+        keep_all = relevant_col(self.model, text)
+        filtered = F.filter(
+            F.col("outlinks"), lambda o: self.url_listed(o["to_url"])
+        )
+        return parse_data.withColumn(
+            "outlinks",
+            F.when(keep_all, F.col("outlinks")).otherwise(filtered),
+        )
+
+
+@dataclass(frozen=True)
 class ParseFilterChain:
-    """HtmlParseFilters: filters contribute parse-metadata entries in
-    order; a later filter's field overwrites an earlier one's (the
-    reference's Metadata.set replaces)."""
+    """HtmlParseFilters: filters run in registration order; a filter
+    either contributes parse-metadata entries (`entries`, later fields
+    overwrite earlier — the reference's Metadata.set replaces) or
+    rewrites the parse rows (`transform`, e.g. naivebayes dropping
+    outlinks)."""
 
     filters: tuple = ()
 
@@ -106,7 +154,10 @@ class ParseFilterChain:
         html = raw_content_col(F.col(spans_col))
         entries: dict[str, Column] = {}
         for f in self.filters:
-            entries.update(f.entries(text, html))  # later filter wins
+            if hasattr(f, "transform"):
+                parse_data = f.transform(parse_data, text, html)
+            else:
+                entries.update(f.entries(text, html))  # later wins
         if not entries:
             return parse_data.withColumn(
                 out_col, F.lit(None).cast("map<string,string>")

@@ -16,13 +16,16 @@ def get_spark(
     shuffle_partitions: int | None = None,
     app_name: str = "nutch-spark",
     executors: int | None = None,
-    executor_mem_mb: int = 4096,
+    executor_mem_mb: int | None = None,
 ) -> SparkSession:
     """local[cores] session, or — with `executors` — a
     local-cluster[executors, cores, mem] session: real executor JVMs,
     the shape the N→4N scaling evidence runs on (and much kinder to GC
     than one giant 32-thread heap). `cores` is per-executor there."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    executor_mem_mb = executor_mem_mb or int(
+        os.environ.get("NUTCH_EXECUTOR_MEM_MB", "4096")
+    )
     if executors:
         master = f"local-cluster[{executors},{cores},{executor_mem_mb}]"
         # 3 tasks per core, not 1: a single wave (partitions == cores)
@@ -58,5 +61,12 @@ def get_spark(
             # ≙ spark-submit --py-files nutch_spark.zip (north_rule):
             # executor python workers must resolve this package
             .config("spark.executorEnv.PYTHONPATH", repo_root)
+            # Xms = Xmx (no AlwaysPreTouch): a fixed-size heap is
+            # faulted in once on first use and NEVER uncommitted —
+            # Java 17's G1 otherwise returns free regions to the OS
+            # between GCs and refaults them next cycle, which throttles
+            # multi-JVM shapes on hosts with slow page-fault paths
+            # (this sandbox VM handles ~10k faults/s, ~100× below
+            # normal). Standard production practice on real clusters.
         )
     return builder.getOrCreate()

@@ -567,3 +567,63 @@ class TestGeoIpFields:
         )
         row = chain(df).collect()[0]
         assert row.city_name == "Berlin" and row.host == "example.com"
+
+
+# ---------------------------------------------------------------------
+# IndexWriter exchange (IndexWriters.java + indexer-dummy)
+# ---------------------------------------------------------------------
+
+
+def test_index_writers_roundtrip(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from nutch_spark.operators.index import ACTION_ADD, ACTION_DELETE
+    from nutch_spark.operators.indexwriters import (
+        DummyIndexWriter,
+        ParquetIndexWriter,
+        write_index,
+    )
+
+    actions = spark.createDataFrame(
+        [
+            ("http://h/a", ACTION_ADD, "Title A"),
+            ("http://h/b", ACTION_ADD, "Title B"),
+            ("http://h/gone", ACTION_DELETE, None),
+        ],
+        "url string, action int, title string",
+    )
+    dump = tmp_path / "dummy.txt"
+    dump_nodel = tmp_path / "dummy_nodel.txt"
+    pq = tmp_path / "pq"
+    write_index(
+        actions,
+        [
+            DummyIndexWriter(str(dump), delete=True),
+            DummyIndexWriter(str(dump_nodel), delete=False),
+            ParquetIndexWriter(str(pq)),
+        ],
+    )
+    # dummy format: action\tkey lines + trailing commit (reference
+    # DummyIndexWriter write/delete/commit)
+    assert dump.read_text().splitlines() == [
+        "add\thttp://h/a",
+        "add\thttp://h/b",
+        "delete\thttp://h/gone",
+        "commit",
+    ]
+    # deletions disabled → delete lines suppressed (open() honors
+    # INDEXER_DELETE)
+    assert dump_nodel.read_text().splitlines() == [
+        "add\thttp://h/a",
+        "add\thttp://h/b",
+        "commit",
+    ]
+    # columnar sink: full round-trip, deletes carried with null doc
+    back = spark.read.parquet(str(pq))
+    assert back.count() == 3
+    got = {
+        r["url"]: (r["action"], r["title"]) for r in back.collect()
+    }
+    assert got["http://h/gone"] == (ACTION_DELETE, None)
+    assert got["http://h/a"] == (ACTION_ADD, "Title A")
+
