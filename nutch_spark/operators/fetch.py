@@ -271,9 +271,10 @@ def fetch(
 
         @F.pandas_udf(T.StringType())
         def _domain_key(hosts_s: pd.Series) -> pd.Series:
-            return pd.Series(
-                [get_domain(h) or h for h in hosts_s], index=hosts_s.index
-            )
+            # resolve each DISTINCT host once (batches carry many rows
+            # per host), then a vectorized map over the batch
+            tbl = {h: (get_domain(h) or h) for h in hosts_s.dropna().unique()}
+            return hosts_s.map(tbl)
 
         keyed = fetchlist.withColumn("_qkey", _domain_key(F.col("host")))
     elif by_ip:
