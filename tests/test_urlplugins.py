@@ -496,3 +496,61 @@ def test_vectorized_filter_chain_matches_rowwise():
     vec = chain.apply_series(s).tolist()
     row = [chain(u) for u in urls]
     assert vec == row
+
+
+def test_compiled_chain_keeps_parse_fast_path(spark):
+    """A filter chain whose members all compile must leave the parse
+    plan free of Python stages (no BatchEvalPython/ArrowEvalPython,
+    no explode slow path) AND match the pandas-udf path's output."""
+    import pyspark.sql.functions as F
+
+    from nutch_spark.functions.urlplugins import DomainFilter, FilterChain
+    from nutch_spark.operators.parse import finish_pages
+    from nutch_spark.schema import SPAN
+    from pyspark.sql import types as T
+
+    base = spark.createDataFrame(
+        [
+            (
+                "http://a.example.com/p/1", "a.example.com", 1.0, "s",
+                [], 1, "text here", "sig", ["http://b.example.com/x",
+                                            "http://other.org/y"], True,
+                None,
+            )
+        ],
+        T.StructType([
+            T.StructField("url", T.StringType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("score", T.FloatType()),
+            T.StructField("segment", T.StringType()),
+            T.StructField("spans", T.ArrayType(SPAN)),
+            T.StructField("fetch_time", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("signature", T.StringType()),
+            T.StructField("raw_outlinks", T.ArrayType(T.StringType())),
+            T.StructField("is_canonical", T.BooleanType()),
+            T.StructField("metadata",
+                          T.MapType(T.StringType(), T.StringType())),
+        ]),
+    )
+    def n_python_stages(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+
+    chain = FilterChain([DomainFilter(["example.com"])])
+    out = finish_pages(base, url_filters=chain)
+    # the dormant slow branch keeps its normalize_urls stage (the plan
+    # is a fast∪slow union), but the COMPILED chain must not add any
+    # python stage of its own...
+    opaque = FilterChain([lambda u: u is not None and "example.com" in u])
+    out_opaque = finish_pages(base, url_filters=opaque)
+    assert n_python_stages(out) < n_python_stages(out_opaque)
+    # ...and with every outlink canonical, the row must flow through
+    # the fast branch with the filter applied in-array
+    rows = out.collect()
+    assert len(rows) == 1
+    kept = [o["to_url"] for o in rows[0]["outlinks"]]
+    # domain filter keeps only the example.com outlink
+    assert kept == ["http://b.example.com/x"]
+    # sanity: the per-row chain agrees
+    assert chain("http://b.example.com/x") and not chain("http://other.org/y")
