@@ -310,6 +310,10 @@ def main() -> None:
             {"low": lo, "high": hi, "speedup": round(sp, 3),
              "efficiency": round(sp / execs_hi, 3)}
         )
+        # contention can only LOWER a pair's efficiency, so once a pair
+        # demonstrates ≥0.8 a second pair adds nothing but wall-clock
+        if pairs[-1]["efficiency"] >= 0.8:
+            break
     best = max(pairs, key=lambda p: p["efficiency"])
     low, high = best["low"], best["high"]
     speedup = best["speedup"]
