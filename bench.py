@@ -4,13 +4,16 @@ Measures three things:
 
   1. **Steady-state crawl-cycle throughput + scaling** (the BASELINE.json
      metric): one full generate → fetch → parse → updatedb cycle over a
-     synthesized mid-crawl frontier (600k due URLs, 30k hosts), every
-     stage materialized to parquet like the real driver. Run twice —
-     local-cluster[1,8] (N executors) and local-cluster[4,8] (4N
-     executors), real executor JVMs — after a warm-up cycle, which is
-     the sandbox evidence for the north_rule's N→4N scaling-efficiency
-     ≥ 0.8 criterion. A 10^10-row frontier's cycles don't ramp from
-     seeds, so the mid-crawl cycle is the honest unit of throughput.
+     synthesized mid-crawl frontier (2.4M due URLs, 120k hosts), every
+     stage materialized to parquet like the real driver. Run as
+     interleaved low/high pairs — local-cluster[1,2] (N executors) vs
+     local-cluster[4,2] (4N executors), real executor JVMs, identical
+     warm-up + time-the-last-cycle protocol on both shapes — with a
+     page-fault-path calibration probe before each window and the
+     MEDIAN over load-symmetric pairs reported. This is the sandbox
+     evidence for the north_rule's N→4N scaling-efficiency ≥ 0.8
+     criterion. A 10^10-row frontier's cycles don't ramp from seeds,
+     so the mid-crawl cycle is the honest unit of throughput.
   2. **End-to-end depth-3 crawl** (resumable store, metrics lineage on)
      at the high executor count — wall-clock for the whole loop.
   3. **Gate-query latencies** at $SPARK_GRAFT_SF_DIR (default sf0.1).
@@ -36,6 +39,34 @@ T0 = 1_700_000_000_000
 # Every phase runs in its OWN python subprocess (fresh JVM): repeated
 # SparkSession create/stop cycles in one JVM — especially switching
 # between local-cluster and local masters — proved hang-prone.
+
+
+def calibration_probe() -> dict:
+    """Time the host's page-fault path (allocate-and-touch 256 MB) and
+    a fixed single-thread CPU workload, immediately before a measured
+    phase. This VM's dominant noise source is a degraded page-fault
+    path (~10k faults/s at its worst, ~100× below normal) that drifts
+    over minutes and hits multi-JVM shapes hardest — so each scaling
+    pair records the probe for BOTH its windows, and a pair whose low
+    and high windows saw materially different host conditions is
+    excluded from the median (load-symmetry check)."""
+    import hashlib
+
+    t0 = time.time()
+    buf = bytearray(256 << 20)
+    step = 4096
+    # one write per 4 KiB page: calloc'd pages are lazily mapped, so
+    # the slice-assign is what actually drives the fault path
+    buf[::step] = b"\x01" * (len(buf) // step)
+    fault_sec = time.time() - t0
+    t0 = time.time()
+    h = hashlib.sha256()
+    chunk = bytes(memoryview(buf)[: 8 << 20])
+    for _ in range(16):
+        h.update(chunk)
+    cpu_sec = time.time() - t0
+    del buf
+    return {"fault_sec": round(fault_sec, 4), "cpu_sec": round(cpu_sec, 4)}
 
 
 def _run_phase(phase: str, timeout: int = 1800, retries: int = 1) -> dict:
@@ -99,10 +130,18 @@ def _run_cycle(spark, web, robots, d: str, topn: int, max_count: int) -> tuple[i
 
 
 def steady_cycle(executors: int, cores_per: int, n_hosts: int, pages: int,
-                 reps: int = 2, shuffle_partitions: int | None = None) -> dict:
-    """Warm-up + `reps` timed steady cycles; best rep wins (the warm
-    JIT/steady-state capability is the quantity a long-running cluster
-    job actually sees).
+                 cycles: int = 2, shuffle_partitions: int | None = None) -> dict:
+    """Small warm-up, then `cycles` full-size cycles; the measurement
+    is the FASTEST cycle, with every cycle's time reported. Fastest-of
+    is the standard capability estimator under one-sided noise: host
+    contention can only slow a cycle down, never speed it past the
+    code's capability, so min-elapsed is the least-biased per-shape
+    reading (measured cycle swings on this VM within one session:
+    [133.9, 181.2] and [261.5, 140.3] on identical code — neither
+    first-cycle nor last-cycle is reliably the steady state). Both
+    shapes run the IDENTICAL protocol, so no estimator asymmetry
+    enters the ratio — and note min-elapsed on the LOW shape picks its
+    largest denominator, i.e. is conservative for the efficiency.
 
     `shuffle_partitions` is pinned to the SAME value for the N and 4N
     shapes by the caller: a scaling measurement must hold the work
@@ -126,18 +165,20 @@ def steady_cycle(executors: int, cores_per: int, n_hosts: int, pages: int,
         web = WebConfig(n_hosts=n_hosts, pages_per_host=pages, zipf=False,
                         outlinks_per_page=6)
         robots = {r["host"]: r for r in robots_rows(web)}
-        best_n, best_t = 0, float("inf")
-        for rep in range(reps):
+        cycle_secs: list[float] = []
+        n = 0
+        for rep in range(max(cycles, 1)):
             n, el = _run_cycle(spark, web, robots, f"{d}/r{rep}", -1, -1)
-            if el < best_t:
-                best_n, best_t = n, el
+            cycle_secs.append(round(el, 2))
             shutil.rmtree(f"{d}/r{rep}", ignore_errors=True)
+        t = min(cycle_secs)
         return {
             "executors": executors,
             "cores_per_executor": cores_per,
-            "urls_fetched": best_n,
-            "elapsed_sec": round(best_t, 2),
-            "throughput_urls_per_sec": round(best_n / max(best_t, 1e-9), 1),
+            "urls_fetched": n,
+            "elapsed_sec": t,
+            "cycle_secs": cycle_secs,
+            "throughput_urls_per_sec": round(n / max(t, 1e-9), 1),
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -253,19 +294,20 @@ def run_phase(phase: str) -> dict:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_hosts = int(os.environ.get("BENCH_HOSTS", "120000"))
     pages = int(os.environ.get("BENCH_PAGES", "20"))
-    if phase == "low":
+    if phase in ("low", "high"):
         # 24 shuffle partitions on BOTH shapes (see steady_cycle doc):
         # 12 waves on 1×2 cores, 3 waves on 4×2 — identical work
-        # decomposition, only the core count varies
-        return steady_cycle(1, 2, n_hosts, pages, reps=1,
-                            shuffle_partitions=24)
-    if phase == "high":
-        # reps=2, best wins: the multi-JVM shape pays lazy heap
-        # fault-in during its first timed cycle on slow-fault hosts;
-        # the second cycle runs on warm heaps — the steady state a
-        # long-running cluster job actually sees
-        return steady_cycle(4, 2, n_hosts, pages, reps=2,
-                            shuffle_partitions=24)
+        # decomposition, only the core count varies. Both shapes run
+        # the IDENTICAL warm-up + 2 cycles / fastest-cycle protocol,
+        # bracketed by calibration probes so the pair acceptance check
+        # can see host-condition drift across and within the windows.
+        calib = calibration_probe()
+        execs = 1 if phase == "low" else 4
+        out = steady_cycle(execs, 2, n_hosts, pages, cycles=2,
+                           shuffle_partitions=24)
+        out["calib"] = calib
+        out["calib_end"] = calibration_probe()
+        return out
     if phase == "e2e":
         return run_e2e_crawl(4, 8, hosts=5000, pages=60, depth=3,
                              topn=300_000)
@@ -289,35 +331,59 @@ def main() -> None:
     # a few %, vs ±40% when the whole box saturates. The full-width
     # capability number comes from the e2e crawl below (4×8 cores).
     #
-    # TWO interleaved low→high pairs: host throughput drifts over
-    # minutes (r02's official run landed on a degraded window and read
-    # 0.621 where adjacent healthy runs read 0.86-1.0), and the drift
-    # hits both shapes of an adjacent pair roughly equally, so the
-    # per-pair efficiency is far more stable than a single low/high
-    # split far apart in time. The BEST pair is reported as the
-    # scaling capability (noise is one-sided: contention only ever
-    # lowers a pair's efficiency, so max-over-pairs is the least
-    # biased estimator of the code's true scaling); all pairs are
-    # recorded alongside for transparency.
-    pairs = []
-    for _ in range(2):
+    # TWO interleaved low→high pairs, BOTH run unconditionally (no
+    # stop-on-pass — the efficiency value is never consulted while
+    # collecting): host throughput drifts over minutes (r02's official
+    # run landed on a degraded window and read 0.621 where adjacent
+    # healthy runs read 0.86-1.0), and the drift hits both shapes of an
+    # adjacent pair roughly equally, so per-pair efficiency is far more
+    # stable than a single low/high split far apart in time. The
+    # reported efficiency is the MEDIAN over load-symmetric pairs — NOT
+    # the max (a degraded LOW window deflates the denominator and would
+    # inflate that pair, so max-over-pairs can pass on noise alone).
+    # Load symmetry is verified per pair with page-fault-path + CPU
+    # probes (this VM's dominant noise sources) bracketing each window
+    # (before AND after); a pair whose windows saw materially different
+    # host conditions is replaced by ONE extra pair (replacement is
+    # triggered by probe evidence only, never by the measured
+    # efficiency) and excluded from the median when a symmetric pair
+    # exists. All pairs and probes are recorded.
+    import statistics
+
+    def _measure_pair() -> dict:
         lo = _run_phase("low")
         hi = _run_phase("high")
         sp = hi["throughput_urls_per_sec"] / max(
             lo["throughput_urls_per_sec"], 1e-9
         )
-        pairs.append(
-            {"low": lo, "high": hi, "speedup": round(sp, 3),
-             "efficiency": round(sp / execs_hi, 3)}
-        )
-        # contention can only LOWER a pair's efficiency, so once a pair
-        # demonstrates ≥0.8 a second pair adds nothing but wall-clock
-        if pairs[-1]["efficiency"] >= 0.8:
-            break
-    best = max(pairs, key=lambda p: p["efficiency"])
+        # four probes bracket the pair (before/after each window);
+        # the pair is load-symmetric iff BOTH probe metrics stayed
+        # within a 1.6× band across all four readings (damped +0.1 s
+        # so micro-second jitter on a healthy host can't trip it)
+        symmetric = True
+        for metric in ("fault_sec", "cpu_sec"):
+            vals = [
+                p[metric]
+                for ph in (lo, hi)
+                for p in (ph.get("calib"), ph.get("calib_end"))
+                if p and metric in p
+            ]
+            if vals and (max(vals) + 0.1) > 1.6 * (min(vals) + 0.1):
+                symmetric = False
+        return {"low": lo, "high": hi, "speedup": round(sp, 3),
+                "efficiency": round(sp / execs_hi, 3),
+                "load_symmetric": symmetric}
+
+    pairs = [_measure_pair(), _measure_pair()]
+    if sum(p["load_symmetric"] for p in pairs) < 2:
+        pairs.append(_measure_pair())
+    accepted = [p for p in pairs if p["load_symmetric"]] or pairs
+    eff = round(statistics.median(p["efficiency"] for p in accepted), 3)
+    # the representative pair shown as low/high: the accepted pair
+    # whose efficiency is closest to the median
+    best = min(accepted, key=lambda p: abs(p["efficiency"] - eff))
     low, high = best["low"], best["high"]
     speedup = best["speedup"]
-    eff = best["efficiency"]
 
     e2e = _run_phase("e2e")
     e2e_plugins = _run_phase("e2e_plugins")
@@ -343,7 +409,8 @@ def main() -> None:
                     "high": high,
                     "executors_ratio": execs_hi,
                     "speedup": round(speedup, 3),
-                    "efficiency": round(eff, 3),
+                    "efficiency": eff,
+                    "efficiency_stat": "median over load-symmetric pairs",
                     "pairs": pairs,
                 },
                 "total_bench_sec": round(total, 1),

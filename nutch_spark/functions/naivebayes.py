@@ -42,6 +42,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _jlog(x: float) -> float:
+    """Math.log semantics: log(0) is -Infinity, not ValueError — an
+    empty training class must classify like the reference, not raise."""
+    return log(x) if x > 0 else float("-inf")
+
+
 def _java_split(s: str, sep: str) -> list[str]:
     """Java String.split: all tokens, then trailing empties removed;
     an empty input yields [\"\"]."""
@@ -109,11 +115,11 @@ def classify(model: NaiveBayesModel, line: str) -> str:
     v = model.uniquewords_size
     for word in tokenize(line):
         f_ir = model.wordfreq_ir.get(word)
-        prob_ir += (log(f_ir) if f_ir else 0.0) + 1 - log(model.numwords_ir + v)
+        prob_ir += (log(f_ir) if f_ir else 0.0) + 1 - _jlog(model.numwords_ir + v)
         f_r = model.wordfreq_r.get(word)
-        prob_r += (log(f_r) if f_r else 0.0) + 1 - log(model.numwords_r + v)
-    prob_ir += log(model.numof_ir) - log(model.numof_ir + model.numof_r)
-    prob_r += log(model.numof_r) - log(model.numof_ir + model.numof_r)
+        prob_r += (log(f_r) if f_r else 0.0) + 1 - _jlog(model.numwords_r + v)
+    prob_ir += _jlog(model.numof_ir) - _jlog(model.numof_ir + model.numof_r)
+    prob_r += _jlog(model.numof_r) - _jlog(model.numof_ir + model.numof_r)
     return "0" if prob_ir > prob_r else "1"
 
 
@@ -147,9 +153,13 @@ def class_log_prob(
     total: int,
 ) -> Column:
     """Σ per-token quirk-likelihood + prior, left-folded in token order
-    (bit-identical to the reference's sequential double sum)."""
+    (bit-identical to the reference's sequential double sum). The prior
+    rides as ONE precomputed literal — Java's ``prob += log(a) - log(b)``
+    groups as ``prob + (log a − log b)``, so adding log(a) and
+    subtracting log(b) in two Column steps would associate differently
+    and could flip ties."""
     m = _freq_map_lit(freq)
-    denom = float(log(numwords + v))
+    denom = _jlog(numwords + v)
     term = lambda t: (  # noqa: E731
         F.coalesce(
             F.log(F.element_at(m, t).cast("double")), F.lit(0.0)
@@ -157,10 +167,10 @@ def class_log_prob(
         + F.lit(1.0)
         - F.lit(denom)
     )
+    prior = _jlog(numof) - _jlog(total)
     return (
         F.aggregate(tokens, F.lit(0.0), lambda acc, t: acc + term(t))
-        + F.lit(float(log(numof)))
-        - F.lit(float(log(total)))
+        + F.lit(prior)
     )
 
 

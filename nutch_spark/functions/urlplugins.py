@@ -646,12 +646,15 @@ class SuffixFilter:
         if self.filter_from_path:
             # regexp_extract returns '' both for no-match and an empty
             # group; the per-row code keeps the whole string on
-            # no-match, so gate on a scheme check first
-            is_url = u.rlike(r"\A[a-z][a-z0-9+.\-]*://")
+            # no-match, so gate on a scheme check first. (?i) mirrors
+            # _PATH_RE's IGNORECASE — with ignore_case=False, u keeps
+            # its original case and an uppercase scheme (HTTP://) must
+            # still path-match here exactly as it does in __call__.
+            is_url = u.rlike(r"(?i)\A[a-z][a-z0-9+.\-]*://")
             u = F.when(
                 is_url,
                 F.regexp_extract(
-                    u, r"\A[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+                    u, r"(?i)\A[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
                 ),
             ).otherwise(u)
         matched = F.lit(False)
@@ -827,16 +830,84 @@ class RegexRuleFilter:
         return out
 
     def column(self, url_col):
-        """First-match-wins as a when() cascade of rlike's. The rule
-        patterns must live in the Python∩Java regex dialect (true for
-        the reference's rule files — the automaton plugin's grammar is
-        a strict subset of both)."""
+        """First-match-wins as a when() cascade of rlike's. Rule
+        patterns are authored/validated against Python `re`, while
+        rlike evaluates java.util.regex — so this compiled form is
+        only offered for patterns PROVEN to mean the same thing in
+        both dialects: each must survive a JVM Pattern.compile (named
+        groups like ``(?P<x>…)`` are Python-only syntax and would
+        otherwise raise at job execution, not build time) and must
+        avoid escapes whose semantics diverge (``\\d``/``\\w``/… are
+        Unicode classes in Python but ASCII in Java; ``\\Z`` permits a
+        final newline in Java). Any other pattern raises
+        ChainNotCompilable and the chain stays on the pandas-UDF path,
+        which is always authoritative. The reference's shipped rule
+        files (regex-urlfilter.txt.template, automaton rules — a
+        strict subset of both dialects) all compile."""
+        for _sign, pat in self._rules:
+            if _dialect_divergent(pat.pattern) or not _java_regex_ok(
+                pat.pattern
+            ):
+                raise ChainNotCompilable(pat.pattern)
         out = F.lit(False)
         for sign, pat in reversed(self._rules):
             out = F.when(url_col.rlike(pat.pattern), F.lit(sign)).otherwise(
                 out
             )
         return url_col.isNotNull() & out
+
+
+class ChainNotCompilable(Exception):
+    """A filter's pattern cannot be proven equivalent under
+    java.util.regex — the chain must stay on the pandas-UDF path."""
+
+
+# Escapes whose meaning differs between Python re and java.util.regex:
+# \d/\w/\s (and negations) are Unicode classes in Python but ASCII in
+# Java, \b/\B word boundaries inherit that difference, and Java's \Z
+# tolerates a trailing newline where Python's does not.
+_DIVERGENT_ESCAPES = frozenset("dDwWsSbBZ")
+
+
+def _dialect_divergent(pattern: str) -> bool:
+    """True if `pattern` uses an escape with different Python/Java
+    semantics (escape-state-aware: ``\\\\d`` is a literal backslash
+    followed by 'd', not a digit class)."""
+    i = 0
+    n = len(pattern)
+    while i < n - 1:
+        if pattern[i] == "\\":
+            if pattern[i + 1] in _DIVERGENT_ESCAPES:
+                return True
+            i += 2
+        else:
+            i += 1
+    return False
+
+
+_JAVA_REGEX_CACHE: dict[str, bool] = {}
+
+
+def _java_regex_ok(pattern: str) -> bool:
+    """True iff java.util.regex accepts `pattern` — checked against the
+    live JVM's Pattern.compile so a Python-valid/Java-invalid pattern
+    is caught at plan-build time (and routed to the UDF path) instead
+    of raising mid-job. No active JVM ⇒ not provable ⇒ False."""
+    cached = _JAVA_REGEX_CACHE.get(pattern)
+    if cached is not None:
+        return cached
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None or getattr(spark, "_jvm", None) is None:
+        return False
+    try:
+        spark._jvm.java.util.regex.Pattern.compile(pattern)
+        ok = True
+    except Exception:
+        ok = False
+    _JAVA_REGEX_CACHE[pattern] = ok
+    return ok
 
 
 class FilterChain:
@@ -884,7 +955,11 @@ class FilterChain:
             col = getattr(f, "column", None)
             if col is None:
                 return None
-            out = out & F.coalesce(col(url_col), F.lit(False))
+            try:
+                c = col(url_col)
+            except ChainNotCompilable:
+                return None
+            out = out & F.coalesce(c, F.lit(False))
         return out
 
 

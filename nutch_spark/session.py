@@ -61,12 +61,11 @@ def get_spark(
             # ≙ spark-submit --py-files nutch_spark.zip (north_rule):
             # executor python workers must resolve this package
             .config("spark.executorEnv.PYTHONPATH", repo_root)
-            # Xms = Xmx (no AlwaysPreTouch): a fixed-size heap is
-            # faulted in once on first use and NEVER uncommitted —
-            # Java 17's G1 otherwise returns free regions to the OS
-            # between GCs and refaults them next cycle, which throttles
-            # multi-JVM shapes on hosts with slow page-fault paths
-            # (this sandbox VM handles ~10k faults/s, ~100× below
-            # normal). Standard production practice on real clusters.
+            # Heap sizing: -Xms=-Xmx and -XX:+AlwaysPreTouch were both
+            # TRIED AND REJECTED (interleaved A/B, BASELINE.md) — on
+            # this slow-page-fault host the total faulted footprint is
+            # what hurts, so pre-committing the full heap was
+            # consistently worse. Executors run Spark's default heap
+            # flags deliberately.
         )
     return builder.getOrCreate()

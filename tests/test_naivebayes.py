@@ -94,6 +94,22 @@ def test_column_matches_python(spark):
     assert got == want
 
 
+def test_empty_training_class_matches_java_log0(spark):
+    """Math.log(0) is -Infinity in Java, not an exception: a training
+    set with no irrelevant examples must classify (everything relevant
+    — the -inf prior loses every comparison), on BOTH paths."""
+    m = train(["1\tgood words here", "1\tmore good words"])
+    assert m.numof_ir == 0
+    assert classify(m, "good words") == "1"
+    assert classify(m, "anything else entirely") == "1"
+    df = spark.createDataFrame(
+        [("good words",), ("anything else entirely",), ("",)],
+        "text string",
+    )
+    got = df.select(relevant_col(m, F.col("text")).alias("rel")).collect()
+    assert all(r["rel"] for r in got)
+
+
 def test_chain_filters_outlinks(spark):
     from nutch_spark.operators.parsefilters import (
         NaiveBayesParseFilter,

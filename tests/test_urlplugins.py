@@ -498,6 +498,103 @@ def test_vectorized_filter_chain_matches_rowwise():
     assert vec == row
 
 
+def test_java_invalid_pattern_stays_on_udf_path(spark):
+    """A Python-valid / Java-invalid rule pattern (named group) must
+    make the compiled fast path decline — not raise at job execution —
+    and the UDF fallback must still decide correctly."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from nutch_spark.functions.urlplugins import FilterChain, RegexRuleFilter
+
+    chain = FilterChain(
+        [RegexRuleFilter([(True, r"(?P<h>example)\.com")])]
+    )
+    assert chain.column_or_none(F.col("url")) is None
+    # per-row and vectorized paths still work
+    assert chain("http://example.com/x") is True
+    assert chain("http://other.org/x") is False
+    got = chain.apply_series(
+        pd.Series(["http://example.com/x", "http://other.org/x"])
+    ).tolist()
+    assert got == [True, False]
+    # and filter_pred end-to-end returns the right rows via the UDF
+    from nutch_spark.functions.urlplugins import filter_pred
+
+    df = spark.createDataFrame(
+        [("http://example.com/x",), ("http://other.org/x",)], "url string"
+    )
+    rows = df.filter(filter_pred(chain, F.col("url"))).collect()
+    assert [r["url"] for r in rows] == ["http://example.com/x"]
+
+
+def test_divergent_escapes_screened():
+    """Escapes whose Python/Java semantics differ (\\d, \\w, \\Z, …)
+    keep the chain on the UDF path; escaped backslashes don't count."""
+    import pyspark.sql.functions as F
+
+    from nutch_spark.functions.urlplugins import (
+        FilterChain,
+        RegexRuleFilter,
+        _dialect_divergent,
+    )
+
+    assert _dialect_divergent(r"host\d+") is True
+    assert _dialect_divergent(r"\w+\.example\.com") is True
+    assert _dialect_divergent(r"end\Z") is True
+    assert _dialect_divergent(r"literal\\dash") is False  # \\ then 'd'
+    assert _dialect_divergent(r"^https?://[a-z0-9.]+/") is False
+    chain = FilterChain([RegexRuleFilter([(True, r"host\d+")])])
+    assert chain.column_or_none(F.col("url")) is None
+
+
+def test_java_valid_pattern_still_compiles(spark):
+    """The default-rule-style patterns (shared Python∩Java dialect)
+    must keep the compiled pure-JVM path and agree with the UDF."""
+    import pyspark.sql.functions as F
+
+    from nutch_spark.functions.urlplugins import FilterChain, RegexRuleFilter
+
+    chain = FilterChain(
+        [RegexRuleFilter([(False, r"[?*!@=]"), (True, r"^https?://")])]
+    )
+    col = chain.column_or_none(F.col("url"))
+    assert col is not None
+    urls = [
+        "http://a.com/ok", "https://b.com/x?q=1", "ftp://c.com/y", None,
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(col).collect()]
+    assert got == [chain(u) for u in urls]
+
+
+def test_suffix_column_uppercase_scheme_matches_python(spark):
+    """With ignore_case=False the path-extraction gate must still be
+    scheme-case-insensitive (it is re.I on the Python paths): an
+    uppercase-scheme URL whose PATH ends in a blocked suffix but whose
+    full URL does not (query string) must be path-matched identically
+    by __call__, series, and the compiled column."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from nutch_spark.functions.urlplugins import SuffixFilter
+
+    sf = SuffixFilter([".exe"], mode_accept=True, filter_from_path=True,
+                      ignore_case=False)
+    urls = [
+        "HTTP://HOST.COM/file.exe?x=1",   # path-match → blocked
+        "http://host.com/file.exe?x=1",   # control: lowercase scheme
+        "http://host.com/page.html?x=1",  # clean → accepted
+        "HTTP://HOST.COM/file.EXE?x=1",   # suffix stays case-SENSITIVE
+    ]
+    want = [False, False, True, True]
+    assert [sf(u) for u in urls] == want
+    assert sf.series(pd.Series(urls)).tolist() == want
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(sf.column(F.col("url"))).collect()]
+    assert got == want
+
+
 def test_compiled_chain_keeps_parse_fast_path(spark):
     """A filter chain whose members all compile must leave the parse
     plan free of Python stages (no BatchEvalPython/ArrowEvalPython,
