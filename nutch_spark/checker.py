@@ -163,3 +163,59 @@ def check_index(
         return report
     report["doc"] = rows[0].asDict(recursive=True)
     return report
+
+
+def check_robots(
+    spark: SparkSession,
+    robots_txt: str,
+    urls,  # DataFrame with a `url` column, or list[str]
+    agent: str = "nutch",
+    http_code: int = 200,
+    whitelist: tuple[str, ...] = (),
+) -> "DataFrame":
+    """RobotRulesParser's check tool (protocol/RobotRulesParser.java:
+    216-316): parse one robots.txt under `agent`, test every URL, and
+    report ``whitelisted`` / ``allowed`` / ``not allowed`` per URL —
+    whitelisted hosts (http.robots.whitelist) bypass the rules, exactly
+    the isWhiteListed branch. Malformed/unparseable URLs are dropped
+    like the reference's MalformedURLException continue.
+
+    Distributed: the parsed rule set is tiny and rides the closure; the
+    verdict is an Arrow-batched map over the URL frame (same
+    `robots_allows` longest-match the fetch scheduler runs)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql import DataFrame, types as T  # noqa: PLC0415
+
+    from .functions.robots import parse_robots_txt, robots_allows
+
+    if not isinstance(urls, DataFrame):
+        urls = spark.createDataFrame([(u,) for u in urls], "url string")
+    rules = parse_robots_txt(robots_txt, agent=agent, http_code=http_code)
+    white = {w.strip().lower() for w in whitelist if w.strip()}
+
+    # no pd.Series annotations: pandas is function-local here and the
+    # stringified hints (PEP 563) would not resolve at decoration time
+    def _status_fn(s):
+        out = []
+        for u in s:
+            if u is None or "://" not in u:
+                out.append(None)  # malformed: dropped below
+                continue
+            hostpart = u.partition("://")[2].partition("/")[0]
+            host = hostpart.rpartition("@")[2].partition(":")[0].lower()
+            if host in white:
+                out.append("whitelisted")
+                continue
+            path = "/" + u.partition("://")[2].partition("/")[2]
+            out.append(
+                "allowed" if robots_allows(rules, path) else "not allowed"
+            )
+        return pd.Series(out, index=s.index, dtype="object")
+
+    _status = F.pandas_udf(_status_fn, T.StringType())
+    return (
+        urls.withColumn("status", _status(F.col("url")))
+        .filter(F.col("status").isNotNull())
+        .select("url", "status")
+    )

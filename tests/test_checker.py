@@ -94,3 +94,57 @@ def test_check_index_document(spark, web):
     assert doc["url"] == url
     assert doc["source"] == "check"
     assert doc["title"]
+
+
+def test_check_robots_verdicts(spark):
+    """RobotRulesParser tool surface: allowed / not allowed /
+    whitelisted per URL, longest-match Allow beating shorter
+    Disallow, malformed URLs dropped."""
+    from nutch_spark.checker import check_robots
+
+    robots = """
+User-agent: nutch
+Disallow: /private/
+Allow: /private/open/
+
+User-agent: *
+Disallow: /
+"""
+    urls = [
+        "http://a.com/ok",
+        "http://a.com/private/x",
+        "http://a.com/private/open/y",
+        "http://white.com/private/x",
+        "not a url",
+    ]
+    got = {
+        r["url"]: r["status"]
+        for r in check_robots(
+            spark, robots, urls, agent="nutch", whitelist=("white.com",)
+        ).collect()
+    }
+    assert got == {
+        "http://a.com/ok": "allowed",
+        "http://a.com/private/x": "not allowed",
+        "http://a.com/private/open/y": "allowed",
+        "http://white.com/private/x": "whitelisted",
+    }
+
+
+def test_check_robots_wildcard_group(spark):
+    """An agent with no named group falls to the `*` group (the
+    reference's http.agent.name-empty behavior)."""
+    from nutch_spark.checker import check_robots
+
+    robots = "User-agent: *\nDisallow: /secret/\n"
+    got = {
+        r["url"]: r["status"]
+        for r in check_robots(
+            spark, robots, ["http://h/secret/a", "http://h/pub"],
+            agent="someother",
+        ).collect()
+    }
+    assert got == {
+        "http://h/secret/a": "not allowed",
+        "http://h/pub": "allowed",
+    }
