@@ -7,6 +7,8 @@ net/URLNormalizers scopes)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from nutch_spark.functions.urlplugins import (
@@ -651,3 +653,62 @@ def test_compiled_chain_keeps_parse_fast_path(spark):
     assert kept == ["http://b.example.com/x"]
     # sanity: the per-row chain agrees
     assert chain("http://b.example.com/x") and not chain("http://other.org/y")
+
+
+def test_compiled_rules_randomized_parity(spark):
+    """Randomized Python/Java dialect parity: rule patterns drawn from
+    the shared-safe grammar (literals, classes, quantifiers,
+    alternation, anchors — what real rule files use) must decide
+    IDENTICALLY on the compiled rlike cascade, the vectorized series
+    path, and the per-row chain."""
+    import random
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from nutch_spark.functions.urlplugins import FilterChain, RegexRuleFilter
+
+    rng = random.Random(20260818)
+    frags = ["http", "https", "host", "example", "com", "org", "p",
+             "img", "css", "js", "private", "cgi-bin"]
+
+    def rand_pattern():
+        parts = []
+        if rng.random() < 0.3:
+            parts.append("^")
+        for _ in range(rng.randint(1, 3)):
+            kind = rng.random()
+            if kind < 0.5:
+                parts.append(re.escape(rng.choice(frags)))
+            elif kind < 0.7:
+                parts.append("[a-z0-9]" + rng.choice(["", "+", "*", "?"]))
+            elif kind < 0.85:
+                parts.append(
+                    "(?:%s|%s)" % (rng.choice(frags), rng.choice(frags))
+                )
+            else:
+                parts.append("." + rng.choice(["", "+", "*"]))
+        if rng.random() < 0.2:
+            parts.append("$")
+        return "".join(parts)
+
+    urls = [
+        f"{rng.choice(['http', 'https', 'ftp'])}://{rng.choice(frags)}"
+        f"{rng.randint(0, 99)}.{rng.choice(['example0.com', 'org'])}/"
+        f"{rng.choice(frags)}/{rng.randint(0, 9999)}"
+        for _ in range(300)
+    ] + [None, ""]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    for _ in range(3):
+        rules = [
+            (rng.random() < 0.5, rand_pattern()) for _ in range(12)
+        ]
+        chain = FilterChain([RegexRuleFilter(rules)])
+        col = chain.column_or_none(F.col("url"))
+        assert col is not None, f"safe-grammar rules must compile: {rules}"
+        got = [bool(r[0]) for r in df.select(col).collect()]
+        want_series = chain.apply_series(
+            pd.Series(urls, dtype=object)
+        ).tolist()
+        want_rows = [chain(u) for u in urls]
+        assert got == want_series == want_rows, f"rules: {rules}"
