@@ -390,33 +390,82 @@ def main() -> None:
     qtimes = _run_phase("queries")
     total = time.time() - t_all
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "steady-state crawl-cycle throughput (URLs fetched+"
-                    "updated/sec), N vs 4N executors + depth-3 e2e crawl "
-                    "+ gate-query latencies"
-                ),
-                "value": high["elapsed_sec"],
-                "unit": "sec",
-                "queries": qtimes,
-                "sf": sf,
-                "crawl": e2e,
-                "crawl_plugins_on": e2e_plugins,
-                "scaling": {
-                    "low": low,
-                    "high": high,
-                    "executors_ratio": execs_hi,
-                    "speedup": round(speedup, 3),
-                    "efficiency": eff,
-                    "efficiency_stat": "median over load-symmetric pairs",
-                    "pairs": pairs,
-                },
-                "total_bench_sec": round(total, 1),
-            }
-        )
-    )
+    full = {
+        "metric": (
+            "steady-state crawl-cycle throughput (URLs fetched+"
+            "updated/sec), N vs 4N executors + depth-3 e2e crawl "
+            "+ gate-query latencies"
+        ),
+        "value": high["elapsed_sec"],
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "crawl": e2e,
+        "crawl_plugins_on": e2e_plugins,
+        "scaling": {
+            "low": low,
+            "high": high,
+            "executors_ratio": execs_hi,
+            "speedup": round(speedup, 3),
+            "efficiency": eff,
+            "efficiency_stat": "median over load-symmetric pairs",
+            "pairs": pairs,
+        },
+        "total_bench_sec": round(total, 1),
+    }
+    # Full-fidelity record (all pairs, calibration probes, per-cycle
+    # times) — referenced from BASELINE.md.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(full, f, indent=2)
+    except OSError:
+        pass
+
+    # The stdout contract is ONE JSON line, and the driver keeps only
+    # the LAST 2000 chars of output when recording it (r01's 1524-char
+    # line parsed; r02/r03's >2000-char lines did not), so the printed
+    # line must stay comfortably under that: summarize crawl/scaling to
+    # throughput-level numbers and keep the per-query dict intact.
+    def _crawl_brief(c: dict) -> dict:
+        return {
+            "execs": c["executors"],
+            "cores": c["cores_per_executor"],
+            "depth": c["depth"],
+            "sec": c["elapsed_sec"],
+            "urls": c["urls_fetched"],
+            "ups": c["throughput_urls_per_sec"],
+        }
+
+    compact = {
+        "metric": "steady crawl-cycle sec at 4Nx2 (see BENCH_LOCAL.json)",
+        "value": high["elapsed_sec"],
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "crawl": _crawl_brief(e2e),
+        "crawl_plugins_on": _crawl_brief(e2e_plugins),
+        "scaling": {
+            "low_ups": low["throughput_urls_per_sec"],
+            "high_ups": high["throughput_urls_per_sec"],
+            "execs_ratio": execs_hi,
+            "speedup": round(speedup, 3),
+            "efficiency": eff,
+            "stat": "median/load-symmetric pairs",
+            "pair_effs": [p["efficiency"] for p in pairs],
+        },
+        "total_bench_sec": round(total, 1),
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # last-resort trims, cheapest information first
+        compact["crawl_plugins_on"] = compact["crawl_plugins_on"]["ups"]
+        compact["crawl"] = compact["crawl"]["ups"]
+        compact["metric"] = "steady crawl-cycle sec at 4Nx2"
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        compact["queries"] = {k: round(v, 1) for k, v in qtimes.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
