@@ -1203,18 +1203,22 @@ ORACLE_UPDATEDB_MIME_ADAPTIVE = _mime_oracle()
 
 
 def q_bloom_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter pre-screen with a FULL value-hash oracle: the
-    filter keys on the derivation's arithmetic url_hash, so the
-    Kirsch–Mitzenmacher double-hash bit positions (h1 + i·h2 mod m)
-    are plain integer arithmetic DuckDB can replay bit-for-bit — the
-    oracle recomputes every probe's k positions against the union of
-    the seen set's positions per bucket. `seen_exact` remains the
-    exact (non-bloom) audit twin."""
-    from .operators.seen import SeenFilter
+    """Both URL-seen structures the north rule names — partitioned
+    bloom AND sharded cuckoo filter — probed with the same seen set
+    and candidates, each under a FULL value-hash oracle. The filters
+    key on the derivation's arithmetic url_hash, so DuckDB replays
+    them bit-for-bit: the bloom via its Kirsch–Mitzenmacher positions
+    (h1 + i·h2 mod m), the cuckoo via its ENTIRE deterministic
+    two-round placement — fingerprints, i1/i2 = i1⊕(fp·mix) indexes,
+    rank-windowed slot assignment, overflow stash — as window
+    functions. `seen_exact` remains the exact (non-filter) audit
+    twin."""
+    from .operators.seen import CuckooSeenFilter, SeenFilter
 
     bs = SeenFilter(n_buckets=16)
+    cf = CuckooSeenFilter(n_shards=16, m_indexes=4096, slots=4)
+    _views(spark, sf_dir, ["orders", "customer"])
     fr = frontier_df(spark, sf_dir)  # url_hash = k · 2654435761
-    seen = bs.build(fr)
     cands = spark.sql(
         f"""
         SELECT {_url('skey')} AS url,
@@ -1226,14 +1230,29 @@ def q_bloom_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) s
         """
     )
-    return bs.unseen(cands, seen).select("url")
+    bloom = bs.unseen(cands, bs.build(fr)).select(
+        F.lit("bloom").alias("filter"), "url"
+    )
+    cuckoo = cf.unseen(cands, cf.build(fr)).select(
+        F.lit("cuckoo").alias("filter"), "url"
+    )
+    return bloom.unionAll(cuckoo)
 
 
-# SeenFilter(n_buckets=16) defaults: m_bits = 10_000_000, k = 7;
-# h1 = low 32 bits, h2 = (high 32 bits) | 1 (logical shift — the
-# sign-extended SQL >> is masked back to the true high word);
-# bucket = floor-mod(h, 16). A candidate is maybe-seen iff ALL of its
-# 7 positions are set in its bucket's union of seen positions.
+# Bloom branch — SeenFilter(n_buckets=16) defaults: m_bits =
+# 10_000_000, k = 7; h1 = low 32 bits, h2 = (high 32 bits) | 1
+# (logical shift — the sign-extended SQL >> is masked back to the true
+# high word); bucket = floor-mod(h, 16). A candidate is maybe-seen iff
+# ALL of its 7 positions are set in its bucket's union of positions.
+#
+# Cuckoo branch — CuckooSeenFilter(n_shards=16, m_indexes=4096,
+# slots=4): fp = (h >> 32) & 0xFFFF (0 → 1); i1 = h & 4095;
+# i2 = i1 XOR ((fp·0x5BD1E995) & 4095); shard = floor-mod(h, 16).
+# Placement replay: round A ranks DISTINCT keys by h within
+# (shard, i1) — ranks 0-3 take slots; the spill ranks by h within
+# (shard, i2) against round-A occupancy; the rest is the exact stash.
+# A candidate is maybe-seen iff some stored (shard, index, fp) matches
+# at i1 or i2, or its full key sits in the stash.
 ORACLE_BLOOM_UNSEEN = f"""
 WITH seen_keys AS (
   SELECT cast(o_orderkey * 2654435761 as bigint) AS h FROM orders),
@@ -1259,8 +1278,54 @@ j AS (
          max(case when b.pos IS NULL then 1 else 0 end) AS missing
   FROM probe p
   LEFT JOIN bits b ON p.bucket = b.bucket AND p.pos = b.pos
-  GROUP BY p.url)
-SELECT url FROM j WHERE missing = 1
+  GROUP BY p.url),
+ck AS (
+  SELECT h, ((h % 16) + 16) % 16 AS shard,
+         case when ((h >> 32) & 65535) = 0 then 1
+              else (h >> 32) & 65535 end AS fp,
+         h & 4095 AS i1
+  FROM (SELECT DISTINCT h FROM seen_keys) k),
+ck2 AS (SELECT *, xor(i1, (fp * 1540483477) & 4095) AS i2 FROM ck),
+ra AS (
+  SELECT *, row_number() OVER (PARTITION BY shard, i1 ORDER BY h) - 1
+            AS r1
+  FROM ck2),
+placed_a AS (SELECT shard, i1 AS idx, fp FROM ra WHERE r1 < 4),
+occ_a AS (SELECT shard, idx, count(*) AS occ FROM placed_a
+          GROUP BY shard, idx),
+rb AS (
+  SELECT r.shard, r.h, r.fp, r.i2,
+         row_number() OVER (PARTITION BY r.shard, r.i2 ORDER BY r.h) - 1
+           AS r2,
+         coalesce(o.occ, 0) AS occ2
+  FROM (SELECT * FROM ra WHERE r1 >= 4) r
+  LEFT JOIN occ_a o ON o.shard = r.shard AND o.idx = r.i2),
+placed_b AS (SELECT shard, i2 AS idx, fp FROM rb WHERE r2 < 4 - occ2),
+stash AS (SELECT shard, h FROM rb WHERE r2 >= 4 - occ2),
+stored AS (
+  SELECT DISTINCT shard, idx, fp FROM (
+    SELECT * FROM placed_a UNION ALL SELECT * FROM placed_b) u),
+cprobe AS (
+  SELECT url, h, ((h % 16) + 16) % 16 AS shard,
+         case when ((h >> 32) & 65535) = 0 then 1
+              else (h >> 32) & 65535 end AS fp,
+         h & 4095 AS i1
+  FROM cand),
+cprobe2 AS (
+  SELECT url, h, shard, fp, i1 AS idx FROM cprobe
+  UNION ALL
+  SELECT url, h, shard, fp, xor(i1, (fp * 1540483477) & 4095) AS idx
+  FROM cprobe),
+chit AS (
+  SELECT DISTINCT p.url FROM cprobe2 p
+  JOIN stored s ON s.shard = p.shard AND s.idx = p.idx AND s.fp = p.fp
+  UNION
+  SELECT DISTINCT c.url FROM cprobe c
+  JOIN stash t ON t.shard = c.shard AND t.h = c.h)
+SELECT 'bloom' AS filter, url FROM j WHERE missing = 1
+UNION ALL
+SELECT 'cuckoo' AS filter, url FROM cand
+WHERE url NOT IN (SELECT url FROM chit)
 """
 
 

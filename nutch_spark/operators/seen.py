@@ -261,3 +261,361 @@ class SeenFilter:
 def unseen_exact(candidates: DataFrame, frontier: DataFrame, key: str = "url") -> DataFrame:
     """Exact audit path: left-anti join against the frontier keys."""
     return candidates.join(frontier.select(key), key, "left_anti")
+
+
+# ---------------------------------------------------------------------
+# Cuckoo-filter URL-seen — the north rule's other option ("partitioned
+# bloom/cuckoo filter"). Same sharded architecture as SeenFilter, but
+# the per-shard structure is a cuckoo filter (Fan, Andersen,
+# Kaminsky, Mitzenmacher: "Cuckoo Filter: Practically Better Than
+# Bloom", CoNEXT 2014): a table of m indexes × `slots` entries, each
+# entry a 16-bit key fingerprint; a key may live at one of TWO indexes
+#
+#   i1 = h & (m-1)
+#   i2 = i1 XOR (fp(h) * 0x5BD1E995) & (m-1)          (m a power of 2)
+#
+# which is what buys cuckoo filters their advantage over blooms here:
+# DELETION (remove one stored occurrence of the fingerprint — a 404-
+# purged / CrawlDbFilter-evicted URL can leave the seen set without a
+# rebuild) and bounded lookup cost (exactly 2 indexes per probe,
+# vs k scattered bit reads).
+#
+# Deliberate divergence from the paper, documented: the build places
+# keys with TWO deterministic greedy rounds (every key tries i1; the
+# spill tries i2; rank-within-index by key order decides who fits)
+# plus an EXACT overflow stash, instead of the randomized kick loop.
+# Lookup and delete semantics are the canonical ones; the only cost is
+# a lower slot load before keys start landing in the stash (the kick
+# loop reaches ~95% load, two-round greedy ~85% at slots=4 — size m
+# accordingly). What it buys: the build is order-independent and a
+# pure window-function program, so the correctness gate replays the
+# ENTIRE filter — placement, fingerprints, stash, probe — in ANSI SQL
+# (see gate.py ORACLE_BLOOM_UNSEEN's cuckoo branch), the same
+# full-oracle discipline as the bloom's position replay; and inserts
+# never loop (at 10^10 keys a kick sequence is a per-row data-dependent
+# loop, hostile to vectorization).
+# ---------------------------------------------------------------------
+
+CUCKOO_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("table", T.BinaryType(), False),   # uint16 (m·slots)
+        T.StructField("stash", T.BinaryType(), False),   # int64 overflow keys
+        T.StructField("n_keys", T.LongType(), False),
+    ]
+)
+
+_FP_MIX = np.int64(0x5BD1E995)
+
+
+def _cuckoo_parts(h: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(fp, i1, i2) for int64 keys; all arithmetic replayable in SQL."""
+    fp = (h >> np.int64(32)) & np.int64(0xFFFF)
+    fp = np.where(fp == 0, np.int64(1), fp)
+    i1 = h & np.int64(m - 1)
+    i2 = i1 ^ ((fp * _FP_MIX) & np.int64(m - 1))
+    return fp, i1, i2
+
+
+def _rank_within(groups: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Stable 0-based rank of each element within its group value,
+    preserving input order inside a group (input sorted by key ⇒ rank
+    is rank-by-key, matching ``row_number() OVER (PARTITION BY g
+    ORDER BY h)``). Returns (order, rank-in-sorted-order)."""
+    order = np.argsort(groups, kind="stable")
+    g = groups[order]
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    reps = np.diff(np.r_[starts, len(g)])
+    rank = np.arange(len(g)) - np.repeat(starts, reps)
+    return order, rank
+
+
+class CuckooSeenFilter:
+    """Sharded cuckoo-filter URL-seen set.
+
+    shard = pmod(url_hash, n_shards); each shard is an independent
+    (table, stash) pair built/probed as one NumPy batch — identical
+    distribution story to SeenFilter (build: one shuffle on shard;
+    probe: broadcast table or cogroup-per-shard, chosen by configured
+    table size).
+    """
+
+    BROADCAST_LIMIT_BYTES = SeenFilter.BROADCAST_LIMIT_BYTES
+
+    def __init__(self, n_shards: int = 64, m_indexes: int = 1 << 18,
+                 slots: int = 4):
+        if m_indexes & (m_indexes - 1):
+            raise ValueError("m_indexes must be a power of two")
+        self.n_shards = n_shards
+        self.m = m_indexes
+        self.slots = slots
+
+    def shard_col(self, url_hash):
+        return F.pmod(url_hash, F.lit(self.n_shards)).cast("int")
+
+    # -- core NumPy kernels (per shard) --
+    def _place(self, h_sorted: np.ndarray, table: np.ndarray,
+               stash: list[int]) -> None:
+        """Two-round greedy placement of DISTINCT sorted keys into
+        `table` (uint16 view, shape (m, slots), mutated); overflow
+        appended to `stash`. Slot order inside an index is compacted
+        first — it carries no meaning (lookup is set-membership)."""
+        m, slots = self.m, self.slots
+        # compact: nonzero fingerprints to the front of each index row
+        occ = (table != 0).sum(axis=1).astype(np.int64)
+        nz = table != 0
+        packed = np.zeros_like(table)
+        idx_r, slot_r = np.nonzero(nz)
+        if len(idx_r):
+            _, r = _rank_within(idx_r)  # idx_r already sorted
+            packed[idx_r, r] = table[idx_r, slot_r]
+        table[:] = packed
+        fp, i1, i2 = _cuckoo_parts(h_sorted, m)
+        # round A: everyone tries i1; capacity = slots - current occ
+        oa, ra = _rank_within(i1)
+        cap1 = slots - occ[i1[oa]]
+        put_a = ra < cap1
+        a_idx, a_slot = i1[oa[put_a]], occ[i1[oa[put_a]]] + ra[put_a]
+        table[a_idx, a_slot] = fp[oa[put_a]]
+        np.add.at(occ, a_idx, 1)
+        # round B: the spill tries i2 against post-A occupancy
+        rem = oa[~put_a]
+        rem = rem[np.argsort(h_sorted[rem], kind="stable")]
+        if len(rem):
+            ob, rb = _rank_within(i2[rem])
+            cap2 = slots - occ[i2[rem[ob]]]
+            put_b = rb < cap2
+            b_keys = rem[ob[put_b]]
+            b_idx = i2[b_keys]
+            table[b_idx, occ[b_idx] + rb[put_b]] = fp[b_keys]
+            np.add.at(occ, b_idx, 1)
+            stash.extend(h_sorted[rem[ob[~put_b]]].tolist())
+
+    def _probe(self, table_b: bytes, stash_b: bytes,
+               h: np.ndarray) -> np.ndarray:
+        table = np.frombuffer(table_b, dtype=np.uint16).reshape(
+            self.m, self.slots
+        )
+        stash = np.frombuffer(stash_b, dtype=np.int64)
+        fp, i1, i2 = _cuckoo_parts(h, self.m)
+        fp16 = fp.astype(np.uint16)
+        hit = (table[i1] == fp16[:, None]).any(axis=1)
+        hit |= (table[i2] == fp16[:, None]).any(axis=1)
+        if len(stash):
+            hit |= np.isin(h, stash)
+        return hit
+
+    # -- build / add / delete --
+    def build(self, frontier: DataFrame) -> DataFrame:
+        """frontier(url_hash, …) → (shard, table, stash, n_keys)."""
+        filt = self
+
+        def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            h = np.unique(pdf["url_hash"].to_numpy(dtype=np.int64))
+            table = np.zeros((filt.m, filt.slots), dtype=np.uint16)
+            stash: list[int] = []
+            filt._place(h, table, stash)
+            return pd.DataFrame(
+                {
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "table": [table.tobytes()],
+                    "stash": [np.asarray(stash, dtype=np.int64).tobytes()],
+                    "n_keys": [len(h)],
+                }
+            )
+
+        keyed = frontier.select(
+            self.shard_col(F.col("url_hash")).alias("shard"), "url_hash"
+        )
+        return keyed.groupBy("shard").applyInPandas(build_shard, CUCKOO_SCHEMA)
+
+    def add(self, seen: DataFrame, new_urls: DataFrame) -> DataFrame:
+        """Insert new url_hashes into existing shard tables — free
+        slots first (i1 then i2), stash overflow appended. No rebuild;
+        each shard row rewrites once (the same incremental contract as
+        SeenFilter.add's bitset OR)."""
+        filt = self
+        delta = new_urls.select(
+            self.shard_col(F.col("url_hash")).alias("shard"), "url_hash"
+        )
+
+        def merge(spdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(
+                (spdf if len(spdf) else dpdf)["shard"].iloc[0]
+            )
+            if len(spdf):
+                table = np.frombuffer(
+                    spdf["table"].iloc[0], dtype=np.uint16
+                ).reshape(filt.m, filt.slots).copy()
+                stash = np.frombuffer(
+                    spdf["stash"].iloc[0], dtype=np.int64
+                ).tolist()
+                n0 = int(spdf["n_keys"].iloc[0])
+            else:
+                table = np.zeros((filt.m, filt.slots), dtype=np.uint16)
+                stash, n0 = [], 0
+            h = (
+                np.unique(dpdf["url_hash"].to_numpy(dtype=np.int64))
+                if len(dpdf)
+                else np.zeros(0, dtype=np.int64)
+            )
+            filt._place(h, table, stash)
+            return pd.DataFrame(
+                {
+                    "shard": [shard],
+                    "table": [table.tobytes()],
+                    "stash": [np.asarray(stash, dtype=np.int64).tobytes()],
+                    "n_keys": [n0 + len(h)],
+                }
+            )
+
+        return (
+            seen.groupBy("shard")
+            .cogroup(delta.groupBy("shard"))
+            .applyInPandas(merge, CUCKOO_SCHEMA)
+        )
+
+    def delete(self, seen: DataFrame, gone_urls: DataFrame) -> DataFrame:
+        """Remove ONE stored occurrence per deleted url_hash (slot at
+        i1, else i2, else stash) — the filter operation blooms can't
+        do. Canonical caveat (paper §3.2): only delete keys that were
+        inserted; a delete may remove another key's identical
+        fingerprint at a shared index, which stays membership-safe
+        because the probe matches the survivor."""
+        filt = self
+        delta = gone_urls.select(
+            self.shard_col(F.col("url_hash")).alias("shard"), "url_hash"
+        )
+
+        def drop(spdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(spdf):
+                return pd.DataFrame(
+                    columns=["shard", "table", "stash", "n_keys"]
+                ).astype({"shard": "int32", "n_keys": "int64"})
+            shard = int(spdf["shard"].iloc[0])
+            table = np.frombuffer(
+                spdf["table"].iloc[0], dtype=np.uint16
+            ).reshape(filt.m, filt.slots).copy()
+            stash = np.frombuffer(
+                spdf["stash"].iloc[0], dtype=np.int64
+            ).tolist()
+            n = int(spdf["n_keys"].iloc[0])
+            hs = (
+                np.unique(dpdf["url_hash"].to_numpy(dtype=np.int64))
+                if len(dpdf)
+                else np.zeros(0, dtype=np.int64)
+            )
+            fp, i1, i2 = _cuckoo_parts(hs, filt.m)
+            # per-delete constant-time row ops (delete volume per cycle
+            # is the purge set — small next to the table)
+            for j in range(len(hs)):
+                f = np.uint16(fp[j])
+                hit = np.flatnonzero(table[i1[j]] == f)
+                if len(hit):
+                    table[i1[j], hit[0]] = 0
+                    n -= 1
+                    continue
+                hit = np.flatnonzero(table[i2[j]] == f)
+                if len(hit):
+                    table[i2[j], hit[0]] = 0
+                    n -= 1
+                    continue
+                if hs[j] in stash:
+                    stash.remove(hs[j])
+                    n -= 1
+            return pd.DataFrame(
+                {
+                    "shard": [shard],
+                    "table": [table.tobytes()],
+                    "stash": [np.asarray(stash, dtype=np.int64).tobytes()],
+                    "n_keys": [n],
+                }
+            )
+
+        return (
+            seen.groupBy("shard")
+            .cogroup(delta.groupBy("shard"))
+            .applyInPandas(drop, CUCKOO_SCHEMA)
+        )
+
+    # -- probe --
+    def mark_seen(self, candidates: DataFrame, seen: DataFrame,
+                  url_hash_col: str = "url_hash",
+                  mode: str = "auto") -> DataFrame:
+        """Add boolean `maybe_seen`; same broadcast/partitioned duality
+        and auto rule as SeenFilter.mark_seen."""
+        if mode == "auto":
+            table_bytes = self.n_shards * self.m * self.slots * 2
+            mode = (
+                "broadcast"
+                if table_bytes <= self.BROADCAST_LIMIT_BYTES
+                else "partitioned"
+            )
+        if mode == "partitioned":
+            return self._mark_seen_partitioned(candidates, seen, url_hash_col)
+        filt, ns = self, self.n_shards
+        table = {
+            int(r.shard): (bytes(r.table), bytes(r.stash))
+            for r in seen.collect()
+        }
+        bc = candidates.sparkSession.sparkContext.broadcast(table)
+
+        def probe_batches(batches):
+            tbl = bc.value
+            for pdf in batches:
+                hv = pdf[url_hash_col].to_numpy(dtype=np.int64)
+                shards = hv % ns
+                out = np.zeros(len(pdf), dtype=bool)
+                for s in np.unique(shards):
+                    row = tbl.get(int(s))
+                    if row is None:
+                        continue
+                    mask = shards == s
+                    out[mask] = filt._probe(row[0], row[1], hv[mask])
+                res = pdf.copy()
+                res["maybe_seen"] = out
+                yield res
+
+        out_schema = T.StructType(
+            list(candidates.schema.fields)
+            + [T.StructField("maybe_seen", T.BooleanType())]
+        )
+        return candidates.mapInPandas(probe_batches, out_schema)
+
+    def _mark_seen_partitioned(
+        self, candidates: DataFrame, seen: DataFrame, url_hash_col: str
+    ) -> DataFrame:
+        filt = self
+        cand = candidates.withColumn(
+            "__shard", self.shard_col(F.col(url_hash_col))
+        )
+        out_schema = T.StructType(
+            list(candidates.schema.fields)
+            + [T.StructField("maybe_seen", T.BooleanType())]
+        )
+
+        def probe(cpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+            res = cpdf.drop(columns=["__shard"])
+            if len(spdf) and len(cpdf):
+                hv = cpdf[url_hash_col].to_numpy(dtype=np.int64)
+                res["maybe_seen"] = filt._probe(
+                    spdf["table"].iloc[0], spdf["stash"].iloc[0], hv
+                )
+            else:
+                res["maybe_seen"] = np.zeros(len(cpdf), dtype=bool)
+            return res
+
+        return (
+            cand.groupBy("__shard")
+            .cogroup(seen.groupBy("shard"))
+            .applyInPandas(probe, out_schema)
+        )
+
+    def unseen(self, candidates: DataFrame, seen: DataFrame,
+               url_hash_col: str = "url_hash",
+               mode: str = "auto") -> DataFrame:
+        """Candidates definitely not in the seen set (no false
+        negatives: every inserted key is in a slot or the stash)."""
+        return self.mark_seen(candidates, seen, url_hash_col, mode).filter(
+            ~F.col("maybe_seen")
+        ).drop("maybe_seen")

@@ -21,7 +21,11 @@ from nutch_spark.operators.linkdb import (
     node_degrees,
 )
 from nutch_spark.operators.readdb import dump, read_url, retry_histogram, stats, topn
-from nutch_spark.operators.seen import SeenFilter, unseen_exact
+from nutch_spark.operators.seen import (
+    CuckooSeenFilter,
+    SeenFilter,
+    unseen_exact,
+)
 from nutch_spark.schema import FRONTIER
 
 T0 = 1_700_000_000_000
@@ -303,6 +307,155 @@ def test_seen_partitioned_probe_matches_broadcast(spark):
     # definitely-new guarantee still holds through the partitioned path
     exact = {r.url for r in unseen_exact(novel, fr).collect()}
     assert {u for u, s in par.items() if not s} <= exact
+
+
+# ---- URL-seen cuckoo ----
+
+
+def _replay_cuckoo(keys, ns, m, slots):
+    """Pure-Python replay of the deterministic two-round placement —
+    the same program ORACLE_BLOOM_UNSEEN's cuckoo branch runs in SQL.
+    Returns (stored {(shard, idx, fp)}, stash {(shard, h)})."""
+    from collections import defaultdict
+
+    mix = 0x5BD1E995
+    stored, stash = set(), set()
+    by_shard = defaultdict(list)
+    for h in sorted(set(keys)):
+        by_shard[h % ns].append(h)
+    for shard, hs in by_shard.items():
+        occ = defaultdict(int)
+        groups, spill = defaultdict(list), []
+        for h in hs:  # ascending
+            fp = ((h >> 32) & 0xFFFF) or 1
+            i1 = h & (m - 1)
+            groups[i1].append((h, fp, i1 ^ ((fp * mix) & (m - 1))))
+        for i1, lst in groups.items():
+            for r, (h, fp, i2) in enumerate(lst):
+                if r < slots:
+                    stored.add((shard, i1, fp))
+                    occ[i1] += 1
+                else:
+                    spill.append((h, fp, i2))
+        bgroups = defaultdict(list)
+        for h, fp, i2 in sorted(spill):
+            bgroups[i2].append((h, fp))
+        for i2, lst in bgroups.items():
+            cap = slots - occ[i2]
+            for r, (h, fp) in enumerate(lst):
+                if r < cap:
+                    stored.add((shard, i2, fp))
+                else:
+                    stash.add((shard, h))
+    return stored, stash
+
+
+def _cuckoo_contents(cf, seen):
+    """(stored, stash) sets out of built shard rows."""
+    import numpy as np
+
+    stored, stash = set(), set()
+    for r in seen.collect():
+        tbl = np.frombuffer(bytes(r.table), np.uint16).reshape(
+            cf.m, cf.slots
+        )
+        for i, s in zip(*np.nonzero(tbl)):
+            stored.add((r.shard, int(i), int(tbl[i, s])))
+        for h in np.frombuffer(bytes(r.stash), np.int64):
+            stash.add((r.shard, int(h)))
+    return stored, stash
+
+
+def test_cuckoo_no_false_negatives_and_overflow(spark):
+    """Overloaded tiny table (load factor ≈ 2): placements spill to
+    the exact stash, membership stays false-negative-free."""
+    import numpy as np
+
+    cf = CuckooSeenFilter(n_shards=2, m_indexes=8, slots=2)
+    rows = [fr_row(f"http://h{i % 7}.example.com/p/{i}") for i in range(64)]
+    fr = spark.createDataFrame(rows, FRONTIER)
+    seen = cf.build(fr).cache()
+    assert seen.count() == 2
+    assert any(
+        len(np.frombuffer(bytes(r.stash), np.int64)) for r in seen.collect()
+    )
+    marked = cf.mark_seen(fr.select("url", "url_hash"), seen)
+    assert marked.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_placement_matches_sql_replay(spark):
+    """The NumPy build's stored (shard, index, fp) set and stash equal
+    the pure-Python replay of the window-function program the DuckDB
+    oracle runs — false-positive-level parity, not just membership."""
+    cf = CuckooSeenFilter(n_shards=4, m_indexes=64, slots=2)
+    rows = [
+        fr_row(f"http://h{i % 13}.example.com/p/{i}") for i in range(400)
+    ]
+    fr = spark.createDataFrame(rows, FRONTIER)
+    stored_e, stash_e = _cuckoo_contents(cf, cf.build(fr))
+    keys = [r.url_hash for r in rows]
+    stored_p, stash_p = _replay_cuckoo(keys, cf.n_shards, cf.m, cf.slots)
+    assert stored_e == stored_p
+    assert stash_e == stash_p
+    assert stash_p  # the shape actually exercises the stash
+
+
+def test_cuckoo_unseen_subset_of_exact_and_modes_agree(spark):
+    cf = CuckooSeenFilter(n_shards=8, m_indexes=256, slots=4)
+    from tests.oracle import url_hash
+
+    known = [fr_row(f"http://h{i % 5}.example.com/p/{i}") for i in range(500)]
+    fr = spark.createDataFrame(known, FRONTIER)
+    seen = cf.build(fr).cache()
+    novel = spark.createDataFrame(
+        [
+            Row(url=u, url_hash=url_hash(u))
+            for i in range(1000)
+            for u in [f"http://new{i}.example.com/x/{i}"]
+        ]
+    )
+    bro = {
+        r.url: r.maybe_seen
+        for r in cf.mark_seen(novel, seen, mode="broadcast").collect()
+    }
+    par = {
+        r.url: r.maybe_seen
+        for r in cf.mark_seen(novel, seen, mode="partitioned").collect()
+    }
+    assert bro == par and len(par) == 1000
+    unseen = {r.url for r in cf.unseen(novel, seen).collect()}
+    exact = {r.url for r in unseen_exact(novel, fr).collect()}
+    assert unseen <= exact
+    # 16-bit fingerprints: FP rate well under 1%
+    assert sum(v for v in bro.values()) / 1000 < 0.01
+
+
+def test_cuckoo_incremental_add_and_delete(spark):
+    """add() inserts into free slots without rebuild; delete() removes
+    one occurrence (the bloom can't do this) — deleted keys stop
+    matching, survivors keep matching."""
+    cf = CuckooSeenFilter(n_shards=4, m_indexes=256, slots=4)
+    a = [fr_row(f"http://a.example.com/p/{i}") for i in range(120)]
+    b = [fr_row(f"http://b.example.com/q/{i}") for i in range(120)]
+    fr_a = spark.createDataFrame(a, FRONTIER)
+    fr_b = spark.createDataFrame(b, FRONTIER)
+    seen = cf.add(cf.build(fr_a), fr_b.select("url_hash")).cache()
+    both = fr_a.select("url", "url_hash").union(
+        fr_b.select("url", "url_hash")
+    )
+    assert cf.mark_seen(both, seen).filter(~F.col("maybe_seen")).count() == 0
+    n_total = sum(r.n_keys for r in seen.collect())
+    assert n_total == 240
+    # delete the b-half; a-half must still match, b-half must not
+    # (deterministic data — this also pins that no fp collisions
+    # between the halves mask the deletes at this shape)
+    seen2 = cf.delete(seen, fr_b.select("url_hash")).cache()
+    marked = {
+        r.url: r.maybe_seen for r in cf.mark_seen(both, seen2).collect()
+    }
+    assert all(marked[r.url] for r in a)
+    assert not any(marked[r.url] for r in b)
+    assert sum(r.n_keys for r in seen2.collect()) == 120
 
 
 def test_update_hostdb_failures_homepage_lastcheck(spark):
