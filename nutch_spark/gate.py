@@ -1773,7 +1773,7 @@ def q_score_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.linkdb import linkrank_quantized, update_scores
 
     edges = links_df(spark, sf_dir).select("from_url", "to_url")
-    scores = linkrank_quantized(edges, iterations=3).select(
+    scores = linkrank_quantized(edges, iterations=3, checkpoint_partitions=8).select(
         "url", F.col("score_units").cast("double").alias("score")
     )
     out = update_scores(frontier_df(spark, sf_dir), scores)
@@ -1806,7 +1806,7 @@ def q_link_dumper(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = links_df(spark, sf_dir).select("from_url", "to_url")
     # scores over the RAW edge multiset (multiplicity counts, exactly
     # like the linkrank gate); the dump itself lists each distinct link
-    scores = linkrank_quantized(edges, iterations=3)
+    scores = linkrank_quantized(edges, iterations=3, checkpoint_partitions=8)
     return link_dumper(edges.distinct(), scores)
 
 
@@ -1834,7 +1834,7 @@ def q_linkrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.linkdb import linkrank_quantized
 
     edges = links_df(spark, sf_dir).select("from_url", "to_url")
-    return linkrank_quantized(edges, iterations=5).select(
+    return linkrank_quantized(edges, iterations=5, checkpoint_partitions=8).select(
         "url", F.col("score_units").cast("long").alias("score_units")
     )
 
@@ -2458,8 +2458,12 @@ def q_score_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # localCheckpoint between cycles: chained full-outer merges grow
     # the logical plan multiplicatively (same reason the crawl driver
-    # cuts lineage per cycle)
-    fr0 = inject(spark, None, seeds, CUR_MS, hooks=hooks).localCheckpoint()
+    # cuts lineage per cycle). coalesce(8) first: the checkpoint
+    # write/read pays per-task overhead on all 33 shuffle-width
+    # partitions of a 15k-row frame — measured 4× on this gate.
+    fr0 = inject(spark, None, seeds, CUR_MS, hooks=hooks).coalesce(
+        8
+    ).localCheckpoint()
 
     # cycle 1: every seed page parses into two children; depth-1 pages
     # pass the gate, targets stamped depth 2 (+ inherited budget)
@@ -2469,7 +2473,7 @@ def q_score_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fr1 = updatedb(
         spark, fr0, None, cp1, _DEPTH_T1, hooks=hooks
-    ).localCheckpoint()
+    ).coalesce(8).localCheckpoint()
 
     # cycle 2: only the NEW segment (the children) parses; default-
     # budget children sit at depth = maxdepth = 2 and are gated, the
@@ -2557,7 +2561,7 @@ def q_score_link(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hooks = link_analysis_hooks()
     edges = links_df(spark, sf_dir).select("from_url", "to_url")
-    scores = linkrank_quantized(edges, iterations=3).select(
+    scores = linkrank_quantized(edges, iterations=3, checkpoint_partitions=8).select(
         "url", F.col("score_units").cast("double").alias("score")
     )
     fr = update_scores(frontier_df(spark, sf_dir), scores)

@@ -299,6 +299,7 @@ def linkrank_quantized(
     iterations: int = 5,
     scale: int = 1_000_000,
     checkpoint_every: int = 3,
+    checkpoint_partitions: int | None = None,
 ) -> DataFrame:
     """LinkRank in FIXED-POINT integer arithmetic: scores are bigint
     micro-units (×10^6) and every per-iteration op is an exact integer
@@ -344,6 +345,13 @@ def linkrank_quantized(
             ).cast("long").alias("u"),
         )
         if (i + 1) % checkpoint_every == 0:
+            # `checkpoint_partitions` shrinks the materialized RDD for
+            # SMALL graphs (a checkpoint write/read pays per-task
+            # overhead on every one of the shuffle-partition tasks —
+            # measured 4× on the sf0.1 gates); leave None at scale so
+            # the score table keeps the shuffle-width layout.
+            if checkpoint_partitions:
+                units = units.coalesce(checkpoint_partitions)
             units = units.localCheckpoint(eager=True)
     edges_deg.unpersist()
     return units.select("url", F.col("u").alias("score_units"))
@@ -354,6 +362,7 @@ def linkrank(
     damping: float = 0.85,
     iterations: int = 10,
     checkpoint_every: int = 3,
+    checkpoint_partitions: int | None = None,
 ) -> DataFrame:
     """LinkRank (LinkRank.java:433-522): score = (1−d) + d·Σ contrib,
     over edges(from_url, to_url). Dangling handled rank-one style via
@@ -392,6 +401,8 @@ def linkrank(
             )
         )
         if (i + 1) % checkpoint_every == 0:
+            if checkpoint_partitions:  # small-graph hygiene, see above
+                scores = scores.coalesce(checkpoint_partitions)
             scores = scores.localCheckpoint(eager=True)
     edges_deg.unpersist()
     return scores

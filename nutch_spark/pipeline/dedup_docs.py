@@ -319,6 +319,7 @@ def dedup_clusters(
     a_col: str = "a",
     b_col: str = "b",
     max_iterations: int = 25,
+    checkpoint_partitions: int | None = None,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
     components over the undirected pair graph, labeling every node
@@ -341,14 +342,24 @@ def dedup_clusters(
     pair; singletons never enter the graph (their cluster is
     themselves by definition).
     """
+    def _cut(df: DataFrame) -> DataFrame:
+        # small-graph checkpoint hygiene: a localCheckpoint pays
+        # per-task overhead on every shuffle-width partition, so the
+        # gates shrink the materialized frame first (measured 4× on
+        # the sf0.1 linkrank gates); None at scale keeps the layout
+        if checkpoint_partitions:
+            df = df.coalesce(checkpoint_partitions)
+        return df.localCheckpoint()
+
     fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    edges = fwd.union(
-        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint()
-    labels = (
+    edges = _cut(
+        fwd.union(
+            fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+    )
+    labels = _cut(
         edges.select("u").distinct()
         .select(F.col("u").alias("node"), F.col("u").alias("label"))
-        .localCheckpoint()
     )
     for _ in range(max_iterations):
         nbr = (
@@ -356,7 +367,7 @@ def dedup_clusters(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels = _cut(
             labels.join(nbr, labels.node == nbr.u, "left")
             .select(
                 "node",
@@ -364,7 +375,6 @@ def dedup_clusters(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -179,7 +179,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup_docs import dedup_clusters, minhash_dedup_pairs
 
     pairs = minhash_dedup_pairs(corpus_df(spark, sf_dir), threshold=0.8)
-    out = dedup_clusters(pairs)
+    out = dedup_clusters(pairs, checkpoint_partitions=8)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
