@@ -71,6 +71,16 @@ class CrawlConfig:
     resolver: dict | None = None  # host → IP (byIP mode)
     ignore_external: bool = False
     external_mode: str = "byHost"
+    # north_rule "frontier table partitioned by host-hash": when set,
+    # frontier snapshots are hive-partitioned on host_bucket =
+    # pmod(xxhash64(host), N) — host-scoped reads (hostdb refresh,
+    # per-host debugging, politeness-queue prefilters) prune to the
+    # buckets they touch instead of scanning the 10^10-row table. The
+    # bucket column is derived at write and dropped at read, so the
+    # frontier schema the operators see is unchanged. None (default)
+    # writes unpartitioned — at gate/test scale dir-partitioning only
+    # adds small files.
+    frontier_host_buckets: int | None = None
 
 
 class Crawler:
@@ -105,11 +115,23 @@ class Crawler:
         return kw
 
     def _frontier(self) -> DataFrame | None:
-        return (
-            self.store.read(self.spark, "frontier")
-            if self.store.exists("frontier")
-            else None
-        )
+        if not self.store.exists("frontier"):
+            return None
+        fr = self.store.read(self.spark, "frontier")
+        if "host_bucket" in fr.columns:
+            fr = fr.drop("host_bucket")
+        return fr
+
+    def _write_frontier(self, fr: DataFrame) -> None:
+        n = self.cfg.frontier_host_buckets
+        if n:
+            fr = fr.withColumn(
+                "host_bucket",
+                F.pmod(F.xxhash64("host"), F.lit(int(n))).cast("int"),
+            )
+            self.store.write(fr, "frontier", partition_by=["host_bucket"])
+        else:
+            self.store.write(fr, "frontier")
 
     def _write_metrics(self, df: DataFrame, segment: str, stage: str,
                        with_status: bool = True) -> None:
@@ -127,7 +149,7 @@ class Crawler:
             self.spark, self._frontier(), seeds, self.cfg.start_time_ms,
             **self._plugin_kwargs("inject"),
         )
-        self.store.write(fr, "frontier")
+        self._write_frontier(fr)
         self._write_metrics(self.store.read(self.spark, "frontier"), "inject", "inject")
         self.store.mark_stage("inject", "inject")
 
@@ -148,7 +170,7 @@ class Crawler:
             self.store.write(fl, "fetchlist")
             if self.cfg.mark_generate:
                 fl_r = self.store.read(self.spark, "fetchlist")
-                self.store.write(mark_generated(fr, fl_r, now), "frontier")
+                self._write_frontier(mark_generated(fr, fl_r, now))
             self.store.mark_stage(seg, "generate")
         fl = self.store.read(self.spark, "fetchlist")
         if self.cfg.collect_stats:
@@ -222,7 +244,7 @@ class Crawler:
             )
             if self.cfg.dedup_each_cycle:
                 fr2 = dedup(fr2)
-            self.store.write(fr2, "frontier")
+            self._write_frontier(fr2)
             self._write_metrics(
                 self.store.read(self.spark, "frontier"), seg, "updatedb"
             )

@@ -129,6 +129,50 @@ def test_crawler_driver_and_resume(spark, tmp_path):
     assert flat(ref).exceptAll(flat(got)).count() == 0
 
 
+def test_frontier_host_bucket_partitioning(spark, tmp_path):
+    """frontier_host_buckets=N hive-partitions frontier snapshots on
+    pmod(xxhash64(host), N): host-scoped reads PRUNE to their buckets
+    (PartitionFilters in the scan), operators see an unchanged schema,
+    and the crawl result is identical to the unpartitioned run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    web = WebConfig(n_hosts=5, pages_per_host=6, zipf=False)
+    base = dict(depth=2, topn=50, dedup_each_cycle=False, start_time_ms=T0)
+
+    s1 = SnapshotStore(str(tmp_path / "plain"))
+    Crawler(spark, s1, web, CrawlConfig(**base)).crawl()
+    s2 = SnapshotStore(str(tmp_path / "bucketed"))
+    c2 = Crawler(
+        spark, s2, web, CrawlConfig(**base, frontier_host_buckets=4)
+    )
+    c2.crawl()
+
+    # physical layout: hive partition dirs
+    snap = s2.snapshot_path("frontier", s2.current_snapshot("frontier"))
+    buckets = sorted(d for d in os.listdir(snap) if d.startswith("host_bucket="))
+    assert len(buckets) >= 2  # 5 hosts spread over 4 buckets
+
+    # identical logical content (operators never see host_bucket)
+    a = s1.read(spark, "frontier")
+    b = c2._frontier()
+    assert sorted(a.columns) == sorted(b.columns)
+    key = [F.col("url")]
+    assert (
+        a.select("url", "status", "score").exceptAll(
+            b.select("url", "status", "score")
+        ).count()
+        == 0
+    ) and a.count() == b.count()
+
+    # a host-scoped read prunes: filter on the bucket column reaches
+    # the scan as a partition filter
+    raw = spark.read.parquet(snap)
+    plan = raw.filter(F.col("host_bucket") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(host_bucket" in plan, plan[:500]
+
+
 def test_metrics_lineage_written(spark, tmp_path):
     web = WebConfig(n_hosts=3, pages_per_host=4, zipf=False)
     cfg = CrawlConfig(depth=1, topn=50, start_time_ms=T0)
