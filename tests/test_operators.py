@@ -573,6 +573,39 @@ def test_segment_stats_and_dump(spark):
     assert parts == {"crawl_generate", "crawl_fetch", "parse_data"}
 
 
+def test_segment_check(spark):
+    """SegmentChecker truth table (segment/SegmentChecker.java:44-140):
+    indexable needs fetch + full parse output; parsed needs parse_data
+    + crawl_parse; a segment absent from a part reports it missing."""
+    from pyspark.sql import Row
+
+    from nutch_spark.operators.segment import segment_check
+
+    fl = spark.createDataFrame(
+        [Row(url="http://h/0", segment="s1"),
+         Row(url="http://h/9", segment="s2")]
+    )
+    fr = spark.createDataFrame([Row(url="http://h/0", segment="s1")])
+    pt = spark.createDataFrame([Row(url="http://h/0", segment="s1", text="t")])
+    pd_ = spark.createDataFrame([Row(url="http://h/0", segment="s1")])
+    cp = spark.createDataFrame([Row(url="http://h/1", segment="s1")])
+
+    full = segment_check("s1", fetchlist=fl, fetch_results=fr,
+                         parse_text=pt, parse_data=pd_, crawl_parse=cp)
+    assert full["parsed"] and full["indexable"]
+    # s2 was generated but never fetched/parsed
+    gen_only = segment_check("s2", fetchlist=fl, fetch_results=fr,
+                             parse_text=pt, parse_data=pd_, crawl_parse=cp)
+    assert gen_only["fetchlist"]
+    assert not gen_only["fetch_results"]
+    assert not gen_only["parsed"] and not gen_only["indexable"]
+    # fetched but parse incomplete (no crawl_parse) → not indexable
+    no_cp = segment_check("s1", fetchlist=fl, fetch_results=fr,
+                          parse_text=pt, parse_data=pd_, crawl_parse=None)
+    assert no_cp["fetch_results"] and not no_cp["parsed"]
+    assert not no_cp["indexable"]
+
+
 def test_choose_repr_golden():
     """URLUtil.chooseRepr truth table (util/URLUtil.java:325-417)."""
     from nutch_spark.functions.urls import choose_repr
