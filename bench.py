@@ -312,8 +312,13 @@ def run_phase(phase: str) -> dict:
         return run_e2e_crawl(4, 8, hosts=5000, pages=60, depth=3,
                              topn=300_000)
     if phase == "e2e_plugins":
-        return run_e2e_crawl(4, 8, hosts=2000, pages=40, depth=2,
-                             topn=100_000, plugins=True)
+        # IDENTICAL shape to the plain e2e phase, so the plugins-on /
+        # plugins-off throughput ratio isolates the plugin surface's
+        # cost (r2/r3 ran a smaller depth-2 web here, and the unequal
+        # shapes read as a bogus 7-8× "plugin cost" when the same-size
+        # ablation measures 1.57×)
+        return run_e2e_crawl(4, 8, hosts=5000, pages=60, depth=3,
+                             topn=300_000, plugins=True)
     if phase == "queries":
         return run_queries(sf_dir, cpus)
     raise ValueError(phase)
