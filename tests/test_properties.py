@@ -109,3 +109,44 @@ def test_bloom_no_false_negatives():
     m_bits, k = 8 * 8192, 7
     bs = _build_bitset(keys, m_bits, k)
     assert bool(_contains(bs, keys, m_bits, k).all())
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=400
+    ),
+    shape=st.sampled_from([(8, 2), (64, 2), (256, 4), (16, 4)]),
+)
+def test_cuckoo_placement_property(keys, shape):
+    """Pure-NumPy cuckoo placement kernel, over arbitrary int64 keys
+    and table shapes: (1) placement == the pure-Python replay of the
+    SQL oracle's window program (stored fingerprints AND stash), and
+    (2) every inserted key probes positive (slot match or stash)."""
+    import numpy as np
+
+    from nutch_spark.operators.seen import CuckooSeenFilter
+    from tests.test_operators import _replay_cuckoo
+
+    m, slots = shape
+    cf = CuckooSeenFilter(n_shards=1, m_indexes=m, slots=slots)
+    h = np.unique(np.array(keys, dtype=np.int64))
+    table = np.zeros((m, slots), dtype=np.uint16)
+    stash: list[int] = []
+    cf._place(h, table, stash)
+
+    stored_e = {
+        (0, int(i), int(table[i, s])) for i, s in zip(*np.nonzero(table))
+    }
+    stash_e = {(0, int(x)) for x in stash}
+    stored_p, stash_p = _replay_cuckoo(
+        [int(x) for x in h], 1, m, slots
+    )
+    # shard of every key is 0 here (n_shards=1) — replay agrees
+    assert stored_e == stored_p
+    assert stash_e == stash_p
+    if len(h):
+        hits = cf._probe(
+            table.tobytes(), np.asarray(stash, dtype=np.int64).tobytes(), h
+        )
+        assert bool(hits.all())
