@@ -8,15 +8,31 @@ Measures three things:
      stage materialized to parquet like the real driver. Run as
      interleaved low/high pairs — local-cluster[1,2] (N executors) vs
      local-cluster[4,2] (4N executors), real executor JVMs, identical
-     warm-up + time-the-last-cycle protocol on both shapes — with a
-     page-fault-path calibration probe before each window and the
-     MEDIAN over load-symmetric pairs reported. This is the sandbox
-     evidence for the north_rule's N→4N scaling-efficiency ≥ 0.8
-     criterion. A 10^10-row frontier's cycles don't ramp from seeds,
-     so the mid-crawl cycle is the honest unit of throughput.
+     warm-up + one measured full-size cycle on both shapes — with
+     page-fault-path + CPU calibration probes bracketing every window
+     and the MEDIAN over load-symmetric pairs reported. This is the
+     sandbox evidence for the north_rule's N→4N scaling-efficiency
+     ≥ 0.8 criterion. A 10^10-row frontier's cycles don't ramp from
+     seeds, so the mid-crawl cycle is the honest unit of throughput.
   2. **End-to-end depth-3 crawl** (resumable store, metrics lineage on)
-     at the high executor count — wall-clock for the whole loop.
+     at the high executor count — wall-clock for the whole loop; run
+     twice, plugins off and on at the IDENTICAL shape, so the ratio
+     isolates the plugin surface's cost.
   3. **Gate-query latencies** at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Delivery contract (the round-4 lesson — BENCH_r04 recorded NOTHING
+because a timeout killed the run before its single end-of-run write):
+
+  * every phase's result is flushed into BENCH_LOCAL.json AS IT
+    COMPLETES — a kill at any point preserves all finished phases;
+  * the whole run works against a wall-clock budget
+    ($BENCH_BUDGET_SEC, default 1900 s): phases that no longer fit
+    are SKIPPED (recorded as such), never half-run;
+  * SIGTERM/SIGINT terminate the in-flight phase, flush, print the
+    compact summary line from completed phases, and exit 0 — so even
+    an external timeout yields a parseable record;
+  * the stdout contract is ONE JSON line < 1900 chars (the driver
+    keeps only the last 2000 chars).
 
 Prints ONE JSON line:
   {"metric": ..., "value": <steady-cycle sec at 4N>, "unit": "sec",
@@ -28,6 +44,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import signal
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -69,34 +87,56 @@ def calibration_probe() -> dict:
     return {"fault_sec": round(fault_sec, 4), "cpu_sec": round(cpu_sec, 4)}
 
 
-def _run_phase(phase: str, timeout: int = 1800, retries: int = 1) -> dict:
-    for attempt in range(retries + 1):
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--phase", phase],
-                capture_output=True, text=True, timeout=timeout,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-        except subprocess.TimeoutExpired:
-            if attempt < retries:
-                continue
-            raise
-        for line in reversed(out.stdout.strip().splitlines()):
-            if line.startswith("{"):
-                return json.loads(line)
-        if attempt < retries:
-            continue
-        raise RuntimeError(
-            f"phase {phase} produced no JSON (rc={out.returncode}): "
-            f"{out.stderr[-500:]}"
-        )
-    raise RuntimeError(f"phase {phase} failed after retries")
+class _Stop(Exception):
+    """Raised on SIGTERM/SIGINT or budget exhaustion: stop measuring,
+    flush and emit what completed."""
+
+
+_CHILD: subprocess.Popen | None = None
+_STOPPING = False
+
+
+def _on_signal(signum, frame):  # noqa: ARG001
+    global _STOPPING
+    _STOPPING = True
+    child = _CHILD
+    if child is not None and child.poll() is None:
+        child.terminate()
+
+
+def _run_phase(phase: str, timeout: int) -> dict:
+    """Run one phase in a fresh interpreter/JVM; parse its JSON line."""
+    global _CHILD
+    if _STOPPING:
+        raise _Stop()
+    _CHILD = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--phase", phase],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    try:
+        out, err = _CHILD.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        _CHILD.kill()
+        _CHILD.communicate()
+        raise RuntimeError(f"phase {phase} exceeded {timeout}s") from None
+    finally:
+        child, _CHILD = _CHILD, None
+        if child.poll() is None:
+            child.kill()
+    if _STOPPING:
+        raise _Stop()
+    for line in reversed(out.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"phase {phase} produced no JSON (rc={child.returncode}): "
+        f"{err[-500:]}"
+    )
 
 
 def _run_cycle(spark, web, robots, d: str, topn: int, max_count: int) -> tuple[int, float]:
     """One store-materialized generate→fetch→parse→updatedb cycle."""
-    from pyspark.sql import functions as F
-
     from nutch_spark.operators.fetch import fetch
     from nutch_spark.operators.generate import generate
     from nutch_spark.operators.parse import (
@@ -130,18 +170,14 @@ def _run_cycle(spark, web, robots, d: str, topn: int, max_count: int) -> tuple[i
 
 
 def steady_cycle(executors: int, cores_per: int, n_hosts: int, pages: int,
-                 cycles: int = 2, shuffle_partitions: int | None = None) -> dict:
-    """Small warm-up, then `cycles` full-size cycles; the measurement
-    is the FASTEST cycle, with every cycle's time reported. Fastest-of
-    is the standard capability estimator under one-sided noise: host
-    contention can only slow a cycle down, never speed it past the
-    code's capability, so min-elapsed is the least-biased per-shape
-    reading (measured cycle swings on this VM within one session:
-    [133.9, 181.2] and [261.5, 140.3] on identical code — neither
-    first-cycle nor last-cycle is reliably the steady state). Both
-    shapes run the IDENTICAL protocol, so no estimator asymmetry
-    enters the ratio — and note min-elapsed on the LOW shape picks its
-    largest denominator, i.e. is conservative for the efficiency.
+                 cycles: int = 1, shuffle_partitions: int | None = None) -> dict:
+    """Small warm-up cycle, then `cycles` full-size cycles; the
+    measurement is the FASTEST cycle (with every cycle's time
+    reported). One measured cycle per shape is the budget-fitting
+    protocol (round 3 ran it and finished inside the driver window;
+    round 4's two-cycles-per-shape doubled the scaling phase and timed
+    the whole bench out) — single-cycle noise is handled ACROSS pairs:
+    median over load-symmetric pairs, probe-bracketed windows.
 
     `shuffle_partitions` is pinned to the SAME value for the N and 4N
     shapes by the caller: a scaling measurement must hold the work
@@ -193,8 +229,9 @@ def run_e2e_crawl(executors: int, cores_per: int, hosts: int, pages: int,
     plugins=True turns the whole configurable surface on at once —
     mime-adaptive schedule, byDomain politeness queues, embedded
     sub-documents (canonical-key datums), a domain-allowlist filter
-    chain, and a non-default scoring hook — evidence the integrated
-    feature set holds at bench scale, not just in unit tests."""
+    chain, a non-default scoring hook, and the bloom URL-seen filter
+    wired into the cycle — evidence the integrated feature set holds
+    at bench scale, not just in unit tests."""
     from nutch_spark.crawl import CrawlConfig, Crawler
     from nutch_spark.operators.inject import inject
     from nutch_spark.session import get_spark
@@ -227,6 +264,7 @@ def run_e2e_crawl(executors: int, cores_per: int, hosts: int, pages: int,
                 url_filters=FilterChain(
                     [DomainFilter([f"example{i}.com" for i in range(3)])]
                 ),
+                seen_filter="bloom",
             )
         web = WebConfig(n_hosts=hosts, pages_per_host=pages,
                         outlinks_per_page=12, **web_kw)
@@ -253,7 +291,7 @@ def run_e2e_crawl(executors: int, cores_per: int, hosts: int, pages: int,
         spark.stop()
 
 
-def run_queries(sf_dir: str, cores: int, per_query_sec: int = 120) -> dict[str, float]:
+def run_queries(sf_dir: str, cores: int, per_query_sec: int = 90) -> dict[str, float]:
     """Gate-query latencies; a watchdog cancels any query that exceeds
     the per-query budget (recorded as -2.0) so one pathological plan
     can't wedge the whole bench."""
@@ -298,12 +336,12 @@ def run_phase(phase: str) -> dict:
         # 24 shuffle partitions on BOTH shapes (see steady_cycle doc):
         # 12 waves on 1×2 cores, 3 waves on 4×2 — identical work
         # decomposition, only the core count varies. Both shapes run
-        # the IDENTICAL warm-up + 2 cycles / fastest-cycle protocol,
-        # bracketed by calibration probes so the pair acceptance check
-        # can see host-condition drift across and within the windows.
+        # the IDENTICAL warm-up + one measured cycle, bracketed by
+        # calibration probes so the pair acceptance check can see
+        # host-condition drift across and within the windows.
         calib = calibration_probe()
         execs = 1 if phase == "low" else 4
-        out = steady_cycle(execs, 2, n_hosts, pages, cycles=2,
+        out = steady_cycle(execs, 2, n_hosts, pages, cycles=1,
                            shuffle_partitions=24)
         out["calib"] = calib
         out["calib_end"] = calibration_probe()
@@ -324,115 +362,151 @@ def run_phase(phase: str) -> dict:
     raise ValueError(phase)
 
 
+# Conservative per-phase wall-clock estimates (sec), from the r03
+# official record + r04 judge sweep on this host: low window 360-390 s
+# cycle + ~45 s warm-up/JVM, high ~110-125 s + ~40 s, e2e 90 s, plugins
+# ~140 s, queries sum ~215 s + startup. A phase is attempted only if
+# the remaining budget covers its estimate; its subprocess timeout is
+# the remaining budget (less a flush margin), so one stuck phase can't
+# eat the whole run.
+_EST = {"low": 480, "high": 200, "e2e": 180, "e2e_plugins": 220,
+        "queries": 340}
+
+
+def _measure_pair(deadline: float) -> dict:
+    """One interleaved low→high pair. Probes bracket each window; the
+    pair is load-symmetric iff BOTH probe metrics stayed within a 1.6×
+    band across all four readings (damped +0.1 s so micro-second
+    jitter on a healthy host can't trip it)."""
+    lo = _run_phase("low", timeout=_phase_timeout("low", deadline))
+    hi = _run_phase("high", timeout=_phase_timeout("high", deadline))
+    sp = hi["throughput_urls_per_sec"] / max(
+        lo["throughput_urls_per_sec"], 1e-9
+    )
+    symmetric = True
+    for metric in ("fault_sec", "cpu_sec"):
+        vals = [
+            p[metric]
+            for ph in (lo, hi)
+            for p in (ph.get("calib"), ph.get("calib_end"))
+            if p and metric in p
+        ]
+        if vals and (max(vals) + 0.1) > 1.6 * (min(vals) + 0.1):
+            symmetric = False
+    return {"low": lo, "high": hi, "speedup": round(sp, 3),
+            "efficiency": round(sp / 4, 3), "load_symmetric": symmetric}
+
+
+def _phase_timeout(phase: str, deadline: float) -> int:
+    return max(60, int(min(_EST[phase] * 2.5, deadline - time.time() - 45)))
+
+
+def _fits(phase: str, deadline: float) -> bool:
+    return time.time() + _EST[phase] * 1.1 <= deadline
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
-    execs_hi = 4
-
+    budget = float(os.environ.get("BENCH_BUDGET_SEC", "1900"))
     t_all = time.time()
+    deadline = t_all + budget
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    results: dict = {"pairs": [], "skipped": []}
+
+    def flush() -> None:
+        """Full-fidelity partial record — written after EVERY phase so
+        a kill at any point preserves all finished phases."""
+        try:
+            with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+                json.dump(results, f, indent=2)
+        except OSError:
+            pass
+
     # N vs 4N executors at 2 cores each: the high shape stays well
     # under the box's 32 cpus, so JVM GC/compile threads and python
     # workers never contend with task threads — measured variance is
     # a few %, vs ±40% when the whole box saturates. The full-width
-    # capability number comes from the e2e crawl below (4×8 cores).
+    # capability number comes from the e2e crawl (4×8 cores).
     #
-    # TWO interleaved low→high pairs, BOTH run unconditionally (no
-    # stop-on-pass — the efficiency value is never consulted while
-    # collecting): host throughput drifts over minutes (r02's official
-    # run landed on a degraded window and read 0.621 where adjacent
-    # healthy runs read 0.86-1.0), and the drift hits both shapes of an
-    # adjacent pair roughly equally, so per-pair efficiency is far more
-    # stable than a single low/high split far apart in time. The
-    # reported efficiency is the MEDIAN over load-symmetric pairs — NOT
-    # the max (a degraded LOW window deflates the denominator and would
-    # inflate that pair, so max-over-pairs can pass on noise alone).
-    # Load symmetry is verified per pair with page-fault-path + CPU
-    # probes (this VM's dominant noise sources) bracketing each window
-    # (before AND after); a pair whose windows saw materially different
-    # host conditions is replaced by ONE extra pair (replacement is
-    # triggered by probe evidence only, never by the measured
-    # efficiency) and excluded from the median when a symmetric pair
-    # exists. All pairs and probes are recorded.
-    import statistics
-
-    def _measure_pair() -> dict:
-        lo = _run_phase("low")
-        hi = _run_phase("high")
-        sp = hi["throughput_urls_per_sec"] / max(
-            lo["throughput_urls_per_sec"], 1e-9
-        )
-        # four probes bracket the pair (before/after each window);
-        # the pair is load-symmetric iff BOTH probe metrics stayed
-        # within a 1.6× band across all four readings (damped +0.1 s
-        # so micro-second jitter on a healthy host can't trip it)
-        symmetric = True
-        for metric in ("fault_sec", "cpu_sec"):
-            vals = [
-                p[metric]
-                for ph in (lo, hi)
-                for p in (ph.get("calib"), ph.get("calib_end"))
-                if p and metric in p
-            ]
-            if vals and (max(vals) + 0.1) > 1.6 * (min(vals) + 0.1):
-                symmetric = False
-        return {"low": lo, "high": hi, "speedup": round(sp, 3),
-                "efficiency": round(sp / execs_hi, 3),
-                "load_symmetric": symmetric}
-
-    pairs = [_measure_pair(), _measure_pair()]
-    if sum(p["load_symmetric"] for p in pairs) < 2:
-        pairs.append(_measure_pair())
-    accepted = [p for p in pairs if p["load_symmetric"]] or pairs
-    eff = round(statistics.median(p["efficiency"] for p in accepted), 3)
-    # the representative pair shown as low/high: the accepted pair
-    # whose efficiency is closest to the median
-    best = min(accepted, key=lambda p: abs(p["efficiency"] - eff))
-    low, high = best["low"], best["high"]
-    speedup = best["speedup"]
-
-    e2e = _run_phase("e2e")
-    e2e_plugins = _run_phase("e2e_plugins")
-    qtimes = _run_phase("queries")
-    total = time.time() - t_all
-
-    full = {
-        "metric": (
-            "steady-state crawl-cycle throughput (URLs fetched+"
-            "updated/sec), N vs 4N executors + depth-3 e2e crawl "
-            "+ gate-query latencies"
-        ),
-        "value": high["elapsed_sec"],
-        "unit": "sec",
-        "queries": qtimes,
-        "sf": sf,
-        "crawl": e2e,
-        "crawl_plugins_on": e2e_plugins,
-        "scaling": {
-            "low": low,
-            "high": high,
-            "executors_ratio": execs_hi,
-            "speedup": round(speedup, 3),
-            "efficiency": eff,
-            "efficiency_stat": "median over load-symmetric pairs",
-            "pairs": pairs,
-        },
-        "total_bench_sec": round(total, 1),
-    }
-    # Full-fidelity record (all pairs, calibration probes, per-cycle
-    # times) — referenced from BASELINE.md.
+    # TWO interleaved low→high pairs, both run when the budget allows
+    # (the second is dropped only by the CLOCK, never by the measured
+    # value — no stop-on-pass): host throughput drifts over minutes
+    # (r02's official run landed on a degraded window and read 0.621
+    # where adjacent healthy runs read 0.86-1.0), and the drift hits
+    # both shapes of an adjacent pair roughly equally, so per-pair
+    # efficiency is far more stable than a single low/high split far
+    # apart in time. The reported efficiency is the MEDIAN over
+    # load-symmetric pairs — NOT the max (a degraded LOW window
+    # deflates the denominator and would inflate that pair, so
+    # max-over-pairs can pass on noise alone). A probe-flagged
+    # asymmetric pair triggers ONE replacement pair, budget allowing
+    # (replacement is triggered by probe evidence only, never by the
+    # measured efficiency). All pairs and probes are recorded.
+    phase_order = [
+        ("pair", None), ("pair", None),
+        ("queries", "queries"), ("e2e", "e2e"),
+        ("e2e_plugins", "e2e_plugins"),
+    ]
     try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
-            json.dump(full, f, indent=2)
-    except OSError:
-        pass
+        for kind, key in phase_order:
+            if kind == "pair":
+                if not _fits("low", deadline) or (
+                    time.time() + (_EST["low"] + _EST["high"]) * 1.1 > deadline
+                ):
+                    results["skipped"].append("pair")
+                    continue
+                results["pairs"].append(_measure_pair(deadline))
+            else:
+                if not _fits(key, deadline):
+                    results["skipped"].append(key)
+                    continue
+                results[key] = _run_phase(
+                    key, timeout=_phase_timeout(key, deadline)
+                )
+            flush()
+        # probe-triggered replacement pair, budget allowing
+        pairs = results["pairs"]
+        if (
+            pairs
+            and sum(p["load_symmetric"] for p in pairs) < len(pairs)
+            and time.time() + (_EST["low"] + _EST["high"]) * 1.1 <= deadline
+        ):
+            pairs.append(_measure_pair(deadline))
+            flush()
+    except _Stop:
+        results["skipped"].append("terminated")
+    except Exception as exc:  # one failed phase must not lose the rest
+        results["skipped"].append(f"error:{exc}")
+
+    results["total_bench_sec"] = round(time.time() - t_all, 1)
+    pairs = results["pairs"]
+    if pairs:
+        accepted = [p for p in pairs if p["load_symmetric"]] or pairs
+        eff = round(
+            statistics.median(p["efficiency"] for p in accepted), 3
+        )
+        best = min(accepted, key=lambda p: abs(p["efficiency"] - eff))
+        results["scaling_summary"] = {
+            "efficiency": eff,
+            "speedup": best["speedup"],
+            "efficiency_stat": "median over load-symmetric pairs",
+            "pair_effs": [p["efficiency"] for p in pairs],
+            "pairs_accepted": len(accepted),
+        }
+    flush()
 
     # The stdout contract is ONE JSON line, and the driver keeps only
     # the LAST 2000 chars of output when recording it (r01's 1524-char
     # line parsed; r02/r03's >2000-char lines did not), so the printed
     # line must stay comfortably under that: summarize crawl/scaling to
     # throughput-level numbers and keep the per-query dict intact.
-    def _crawl_brief(c: dict) -> dict:
+    def _crawl_brief(c: dict | None) -> dict | None:
+        if not c:
+            return None
         return {
             "execs": c["executors"],
             "cores": c["cores_per_executor"],
@@ -442,35 +516,45 @@ def main() -> None:
             "ups": c["throughput_urls_per_sec"],
         }
 
+    best = None
+    if pairs:
+        accepted = [p for p in pairs if p["load_symmetric"]] or pairs
+        eff = results["scaling_summary"]["efficiency"]
+        best = min(accepted, key=lambda p: abs(p["efficiency"] - eff))
     compact = {
         "metric": "steady crawl-cycle sec at 4Nx2 (see BENCH_LOCAL.json)",
-        "value": high["elapsed_sec"],
+        "value": best["high"]["elapsed_sec"] if best else None,
         "unit": "sec",
-        "queries": qtimes,
+        "queries": results.get("queries", {}),
         "sf": sf,
-        "crawl": _crawl_brief(e2e),
-        "crawl_plugins_on": _crawl_brief(e2e_plugins),
+        "crawl": _crawl_brief(results.get("e2e")),
+        "crawl_plugins_on": _crawl_brief(results.get("e2e_plugins")),
         "scaling": {
-            "low_ups": low["throughput_urls_per_sec"],
-            "high_ups": high["throughput_urls_per_sec"],
-            "execs_ratio": execs_hi,
-            "speedup": round(speedup, 3),
-            "efficiency": eff,
+            "low_ups": best["low"]["throughput_urls_per_sec"],
+            "high_ups": best["high"]["throughput_urls_per_sec"],
+            "execs_ratio": 4,
+            "speedup": best["speedup"],
+            "efficiency": results["scaling_summary"]["efficiency"],
             "stat": "median/load-symmetric pairs",
             "pair_effs": [p["efficiency"] for p in pairs],
-        },
-        "total_bench_sec": round(total, 1),
+        } if best else None,
+        "skipped": results["skipped"],
+        "total_bench_sec": results["total_bench_sec"],
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # last-resort trims, cheapest information first
-        compact["crawl_plugins_on"] = compact["crawl_plugins_on"]["ups"]
-        compact["crawl"] = compact["crawl"]["ups"]
+        if compact["crawl_plugins_on"]:
+            compact["crawl_plugins_on"] = compact["crawl_plugins_on"]["ups"]
+        if compact["crawl"]:
+            compact["crawl"] = compact["crawl"]["ups"]
         compact["metric"] = "steady crawl-cycle sec at 4Nx2"
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
-        compact["queries"] = {k: round(v, 1) for k, v in qtimes.items()}
+        compact["queries"] = {
+            k: round(v, 1) for k, v in compact["queries"].items()
+        }
         line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -27,7 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .constants import Defaults
+from .constants import Defaults, STATUS_DB_GONE
 from .operators.dedup import dedup
 from .operators.fetch import fetch
 from .operators.generate import generate, mark_generated
@@ -81,6 +81,30 @@ class CrawlConfig:
     # writes unpartitioned — at gate/test scale dir-partitioning only
     # adds small files.
     frontier_host_buckets: int | None = None
+    # north_rule headline: the explicit URL-seen structure IN the loop
+    # (replacing the reference's implicit CrawlDb key-existence check,
+    # CrawlDbReducer.java:145-147). When set, a partitioned bloom /
+    # sharded cuckoo filter (operators/seen.py) is built over the
+    # frontier's url_hash at inject, probed against crawl_parse before
+    # every updatedb — datums whose URL is DEFINITELY new (no false
+    # negatives) skip the frontier-sized full-outer join entirely and
+    # take a frontier-free reduce — and incrementally add()ed with the
+    # cycle's definitely-new keys after each updatedb. At 10^10 rows
+    # the mostly-already-seen outlink stream is the dominant updatedb
+    # shuffle this prunes; false positives merely route a new URL
+    # through the big join, where the lone-link branch creates it
+    # identically (row-identical output either way — see
+    # tests/test_crawl.py seen-parity cases).
+    seen_filter: str | None = None  # None | "bloom" | "cuckoo"
+    seen_params: dict | None = None  # filter ctor kwargs
+    # exact anti-join audit of the split (test mode): every
+    # maybe_seen=False datum is verified absent from the frontier
+    seen_audit: bool = False
+    # drop db_gone rows at updatedb (reference -purge404); with the
+    # cuckoo filter the purged keys are also delete()d from the seen
+    # structure — the operation blooms can't do — so a purged URL
+    # becomes fetchable through the filter again
+    purge_404: bool = False
 
 
 class Crawler:
@@ -93,6 +117,39 @@ class Crawler:
         self.web = web
         self.cfg = cfg or CrawlConfig()
         self.robots = {r["host"]: r for r in robots_rows(web)}
+        self._seen = self._make_seen_filter()
+
+    def _make_seen_filter(self):
+        kind = self.cfg.seen_filter
+        if kind is None:
+            return None
+        params = self.cfg.seen_params
+        if kind == "bloom":
+            from .operators.seen import SeenFilter
+
+            return SeenFilter(**(params or dict(
+                n_buckets=32, expected_keys_per_bucket=200_000)))
+        if kind == "cuckoo":
+            from .operators.seen import CuckooSeenFilter
+
+            return CuckooSeenFilter(**(params or dict(
+                n_shards=32, m_indexes=1 << 14)))
+        raise ValueError(f"unknown seen_filter {kind!r}")
+
+    def _ensure_seen(self) -> DataFrame:
+        """Read the seen table, (re)building it from the current
+        frontier if absent — covers resume from a pre-filter warehouse
+        and the rebuild-on-config-change path. The invariant the
+        routing correctness rests on: the filter answers maybe_seen =
+        True for EVERY url in the frontier (over-approximation is
+        always safe — a false positive just takes the big join's
+        lone-link branch; an under-approximation would double-create
+        rows, so keys are only ever added, never dropped, except for
+        cuckoo deletes of purged-and-not-recreated URLs)."""
+        if not self.store.exists("seen"):
+            fr = self._frontier()
+            self.store.write(self._seen.build(fr), "seen")
+        return self.store.read(self.spark, "seen")
 
     # -- helpers --
     def _plugin_kwargs(self, stage: str) -> dict:
@@ -129,7 +186,8 @@ class Crawler:
                 "host_bucket",
                 F.pmod(F.xxhash64("host"), F.lit(int(n))).cast("int"),
             )
-            self.store.write(fr, "frontier", partition_by=["host_bucket"])
+            self.store.write(fr, "frontier", partition_by=["host_bucket"],
+                             drop_on_read=["host_bucket"])
         else:
             self.store.write(fr, "frontier")
 
@@ -150,6 +208,14 @@ class Crawler:
             **self._plugin_kwargs("inject"),
         )
         self._write_frontier(fr)
+        if self._seen is not None:
+            # build the URL-seen structure over the injected frontier —
+            # one shuffle on bucket/shard, each partition builds its
+            # slice independently (seen.py build)
+            self.store.write(
+                self._seen.build(self.store.read(self.spark, "frontier")),
+                "seen",
+            )
         self._write_metrics(self.store.read(self.spark, "frontier"), "inject", "inject")
         self.store.mark_stage("inject", "inject")
 
@@ -233,18 +299,25 @@ class Crawler:
             stats["parsed"] = parse_data.count()
 
         if not self.store.stage_done(seg, "updatedb"):
-            fr2 = updatedb(
-                self.spark,
-                self._frontier(),
-                res,
-                crawl_parse,
-                now,
+            fr = self._frontier()
+            upd_kw = dict(
                 schedule=self.cfg.schedule,
+                purge_404=self.cfg.purge_404,
                 **self._plugin_kwargs("updatedb"),
             )
+            if self._seen is None:
+                fr2 = updatedb(self.spark, fr, res, crawl_parse, now,
+                               **upd_kw)
+                seen_next = None
+            else:
+                fr2, seen_next = self._updatedb_with_seen(
+                    fr, res, crawl_parse, now, upd_kw
+                )
             if self.cfg.dedup_each_cycle:
                 fr2 = dedup(fr2)
             self._write_frontier(fr2)
+            if seen_next is not None:
+                self.store.write(seen_next, "seen")
             self._write_metrics(
                 self.store.read(self.spark, "frontier"), seg, "updatedb"
             )
@@ -252,6 +325,75 @@ class Crawler:
         if self.cfg.collect_stats:
             stats["frontier"] = self.store.read(self.spark, "frontier").count()
         return stats
+
+    def _updatedb_with_seen(self, fr, res, crawl_parse, now: int,
+                            upd_kw: dict):
+        """UpdateDb with the URL-seen filter pruning the frontier join.
+
+        Routing (per URL — every datum of a URL shares its probe
+        verdict, so a URL's whole reduce group lands on one side):
+
+          * maybe_seen=True datums take the normal frontier full-outer
+            merge. False positives land here too and are created by
+            the lone-link branch — identical semantics, just via the
+            big join.
+          * maybe_seen=False datums are DEFINITELY absent from the
+            frontier (bloom/cuckoo have no false negatives while the
+            filter ⊇ frontier invariant holds — see _ensure_seen), so
+            they take the same reduce program against an EMPTY
+            frontier: zero frontier-side shuffle for the dominant
+            mostly-new outlink stream.
+
+        Fetch datums need no probe: every fetched URL came off the
+        fetchlist ⊂ frontier. Returns (fr2, next seen table): the
+        filter learns the definitely-new keys (false-positive creations
+        are already reported seen — that's what a false positive is),
+        and with cuckoo + purge_404, purged-and-not-recreated keys are
+        delete()d so they can be re-discovered later."""
+        from .functions.urls import url_hash_col
+        from .operators.seen import CuckooSeenFilter
+
+        seen_tbl = self._ensure_seen()
+        cp = crawl_parse.withColumn("__uh", url_hash_col(F.col("url")))
+        marked = self._seen.mark_seen(cp, seen_tbl, url_hash_col="__uh")
+        cp_seen = marked.filter(F.col("maybe_seen")).drop(
+            "maybe_seen", "__uh"
+        )
+        cp_new = marked.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        if self.cfg.seen_audit:
+            leaked = (
+                cp_new.select("url").distinct()
+                .join(fr.select("url"), "url", "inner")
+                .count()
+            )
+            if leaked:
+                raise AssertionError(
+                    f"seen filter reported {leaked} frontier URL(s) as "
+                    "definitely-new (false negative) — filter/frontier "
+                    "out of sync"
+                )
+        fr2 = updatedb(self.spark, fr, res, cp_seen, now, **upd_kw)
+        fr2_new = updatedb(
+            self.spark, None, None, cp_new.drop("__uh"), now, **upd_kw
+        )
+        fr2 = fr2.unionByName(fr2_new)
+
+        delta = cp_new.select(F.col("__uh").alias("url_hash")).distinct()
+        seen_next = self._seen.add(seen_tbl, delta)
+        if self.cfg.purge_404 and isinstance(self._seen, CuckooSeenFilter):
+            # purged keys leave the filter UNLESS this cycle's parse
+            # stream recreates them (updatedb filters the old row out
+            # before the join, so a purged URL with an inbound link
+            # re-enters as db_unfetched and must stay "seen"). The
+            # recreated check is small×small: purge set ⋈ cp URLs.
+            purged = fr.filter(
+                F.col("status") == STATUS_DB_GONE
+            ).select("url", "url_hash")
+            gone = purged.join(
+                crawl_parse.select("url").distinct(), "url", "left_anti"
+            ).select("url_hash")
+            seen_next = self._seen.delete(seen_next, gone)
+        return fr2, seen_next
 
     def fetched_total(self) -> int:
         """Total fetched URLs from the lineage metrics (throughput

@@ -122,7 +122,13 @@ class SeenFilter:
 
     # -- incremental add --
     def add(self, seen: DataFrame, new_urls: DataFrame) -> DataFrame:
-        """OR the delta bitsets of new url_hashes into existing buckets."""
+        """OR the delta bitsets of new url_hashes into existing buckets.
+
+        `n_keys` (k_old + k_new) is an upper-bound insert counter, not
+        a distinct-member count: re-added keys set no new bits but do
+        count. The crawl loop feeds only definitely-new keys, keeping
+        it exact; treat it as a ceiling for bits-per-key math
+        otherwise."""
         delta = self.build(new_urls)
         m_bits = self.m_bits
 
@@ -433,7 +439,16 @@ class CuckooSeenFilter:
         """Insert new url_hashes into existing shard tables — free
         slots first (i1 then i2), stash overflow appended. No rebuild;
         each shard row rewrites once (the same incremental contract as
-        SeenFilter.add's bitset OR)."""
+        SeenFilter.add's bitset OR).
+
+        `n_keys` is an UPPER-BOUND insert counter (n0 + batch-unique
+        keys, no prior-membership probe): a key added twice counts —
+        and occupies a slot — twice, while delete() decrements only on
+        a successful removal. Callers keep it exact by feeding add()
+        only definitely-new keys (the crawl loop feeds the
+        maybe_seen=False set, which cannot already be present); fed
+        overlapping deltas, the counter tracks inserts, not distinct
+        members, and load-factor math should treat it as a ceiling."""
         filt = self
         delta = new_urls.select(
             self.shard_col(F.col("url_hash")).alias("shard"), "url_hash"

@@ -76,11 +76,21 @@ class SnapshotStore:
         return os.path.join(self._table_dir(table), "snapshots", str(snapshot))
 
     # ---- read / write ----
-    def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> int:
+    def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None,
+              drop_on_read: list[str] | None = None) -> int:
         """Write df as the next snapshot and atomically advance CURRENT.
 
         Equivalent to Iceberg ``overwritePartitions`` / the reference's
         CrawlDb.install() (CrawlDb.java:158-176), minus lockfiles.
+
+        `drop_on_read` names SYNTHETIC columns (e.g. the frontier's
+        host_bucket partition key, derived at write purely for
+        partition pruning) that `read` strips centrally — so EVERY
+        consumer (crawl loop, server /seed, readdb, streaming) sees the
+        logical schema, not just callers that know about the layout.
+        The list rides in a sidecar file inside the snapshot dir,
+        written BEFORE the pointer swap, so it commits atomically with
+        the data.
         """
         cur = self.current_snapshot(table)
         nxt = 0 if cur is None else cur + 1
@@ -89,11 +99,31 @@ class SnapshotStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+        if partition_by and not self._has_data_files(path):
+            # Spark writes NO files for an empty partitioned frame, so
+            # the snapshot would fail schema inference on read; fall
+            # back to the unpartitioned layout, whose empty write still
+            # emits a schema-bearing footer (reachable when e.g. every
+            # seed is filtered out).
+            df.write.mode("overwrite").parquet(path)
+            drop_on_read = [
+                c for c in (drop_on_read or []) if c in df.columns
+            ]
+        if drop_on_read:
+            with open(os.path.join(path, "_TBLMETA.json"), "w") as f:
+                json.dump({"drop_on_read": drop_on_read}, f)
         # a full-history write flips the table back to overwrite mode in
         # the same atomic pointer swap, so a later read never unions a
         # full snapshot with earlier incremental ones (double counting)
         self._advance(table, nxt, mode="overwrite")
         return nxt
+
+    @staticmethod
+    def _has_data_files(path: str) -> bool:
+        for root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def append(self, df: DataFrame, table: str) -> int:
         """Append-only commit: the new snapshot dir holds ONLY the new
@@ -140,7 +170,17 @@ class SnapshotStore:
                 if os.path.isdir(self.snapshot_path(table, i))
             ]
             return spark.read.parquet(*paths)
-        return spark.read.parquet(self.snapshot_path(table, snap))
+        path = self.snapshot_path(table, snap)
+        df = spark.read.parquet(path)
+        try:
+            with open(os.path.join(path, "_TBLMETA.json")) as f:
+                drop = json.load(f).get("drop_on_read", [])
+        except (FileNotFoundError, json.JSONDecodeError):
+            drop = []
+        for c in drop:
+            if c in df.columns:
+                df = df.drop(c)
+        return df
 
     def rollback(self, table: str, snapshot: int) -> None:
         if not os.path.isdir(self.snapshot_path(table, snapshot)):

@@ -312,3 +312,202 @@ def test_streaming_frontier_ingestion(spark, tmp_path):
     )
     assert flat(got).exceptAll(flat(expected)).count() == 0
     assert flat(expected).exceptAll(flat(got)).count() == 0
+
+
+# ---------------------------------------------------------------------
+# URL-seen filter IN the crawl loop (north_rule headline): the filter
+# prunes the updatedb frontier join, and the filtered run's frontier is
+# ROW-IDENTICAL to the unfiltered run's — false positives just take the
+# big join's lone-link branch; false negatives are impossible while the
+# filter ⊇ frontier invariant holds (seen_audit=True proves it per
+# cycle with an exact anti-join).
+# ---------------------------------------------------------------------
+
+def _full_flat(df):
+    return df.select(
+        "url", "status", "fetch_time", "retries", "fetch_interval",
+        F.round(F.col("score").cast("double"), 4).alias("score"),
+        "signature", "modified_time",
+        F.array_sort(F.map_entries("metadata")).alias("meta"),
+    )
+
+
+@pytest.mark.parametrize(
+    "kind,params",
+    [
+        ("bloom", dict(n_buckets=4, expected_keys_per_bucket=5000)),
+        ("cuckoo", dict(n_shards=4, m_indexes=1 << 10)),
+    ],
+)
+def test_seen_filter_in_loop_parity(spark, tmp_path, kind, params):
+    web = WebConfig(n_hosts=8, pages_per_host=8, zipf=False,
+                    outlinks_per_page=6)
+    base = dict(depth=3, topn=400, start_time_ms=T0)
+
+    s_ref = SnapshotStore(str(tmp_path / "ref"))
+    Crawler(spark, s_ref, web, CrawlConfig(**base)).crawl()
+    ref = _full_flat(s_ref.read(spark, "frontier"))
+
+    s_flt = SnapshotStore(str(tmp_path / kind))
+    Crawler(
+        spark, s_flt, web,
+        CrawlConfig(seen_filter=kind, seen_params=params,
+                    seen_audit=True, **base),
+    ).crawl()
+    got = _full_flat(s_flt.read(spark, "frontier"))
+
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+    # the filter stayed in sync: its insert counter equals the frontier
+    # size exactly, because the loop feeds add() only definitely-new
+    # keys (each frontier URL was counted once — at inject or at the
+    # cycle that created it)
+    n_keys = (
+        s_flt.read(spark, "seen").agg(F.sum("n_keys")).collect()[0][0]
+    )
+    assert n_keys == s_flt.read(spark, "frontier").count()
+
+
+def test_seen_filter_split_routes_new_urls(spark, tmp_path):
+    """Cycle 0's outlink stream is mostly NEW URLs — the split must
+    route them off the frontier join (maybe_seen=False side), which is
+    visible as seen-table growth ≡ the URLs created this cycle."""
+    web = WebConfig(n_hosts=6, pages_per_host=6, zipf=False,
+                    outlinks_per_page=8)
+    store = SnapshotStore(str(tmp_path / "w"))
+    c = Crawler(
+        spark, store, web,
+        CrawlConfig(depth=1, topn=200, seen_filter="bloom",
+                    seen_params=dict(n_buckets=4,
+                                     expected_keys_per_bucket=5000),
+                    seen_audit=True, start_time_ms=T0),
+    )
+    c.inject()
+    injected = store.read(spark, "frontier").count()
+    seen0 = store.read(spark, "seen").agg(F.sum("n_keys")).collect()[0][0]
+    assert seen0 == injected
+    c.cycle(0)
+    frontier1 = store.read(spark, "frontier").count()
+    seen1 = store.read(spark, "seen").agg(F.sum("n_keys")).collect()[0][0]
+    assert frontier1 > injected  # outlinks discovered
+    assert seen1 == frontier1  # every created URL was add()ed, once
+
+
+def test_cuckoo_purge_delete_in_loop(spark, tmp_path):
+    """purge_404 + cuckoo: purged URLs leave BOTH the frontier and the
+    filter (the delete path blooms can't take), so they are fetchable
+    again — unless this cycle's parse stream recreates them, in which
+    case they stay seen and re-enter as db_unfetched."""
+    from nutch_spark.constants import (
+        STATUS_DB_GONE,
+        STATUS_DB_UNFETCHED,
+    )
+
+    web = WebConfig(n_hosts=6, pages_per_host=6, zipf=False,
+                    outlinks_per_page=6)
+    store = SnapshotStore(str(tmp_path / "w"))
+    cfg = CrawlConfig(depth=1, topn=60, seen_filter="cuckoo",
+                      seen_params=dict(n_shards=4, m_indexes=1 << 10),
+                      seen_audit=True, purge_404=True,
+                      dedup_each_cycle=False, start_time_ms=T0)
+    c = Crawler(spark, store, web, cfg)
+    c.inject()
+    c.cycle(0)
+
+    # flip every FETCHED row to db_gone (they were all injected, so the
+    # filter already contains them — no desync)
+    from nutch_spark.constants import STATUS_DB_FETCHED
+
+    fr = store.read(spark, "frontier")
+    fetched_urls = {
+        r.url for r in fr.filter(
+            F.col("status") == STATUS_DB_FETCHED
+        ).select("url").collect()
+    }
+    assert fetched_urls
+    store.write(
+        fr.withColumn(
+            "status",
+            F.when(F.col("status") == STATUS_DB_FETCHED,
+                   F.lit(STATUS_DB_GONE)).otherwise(F.col("status")),
+        ),
+        "frontier",
+    )
+
+    c.cycle(1)  # purges the gone rows; deletes non-recreated keys
+
+    fr2 = store.read(spark, "frontier")
+    rows = {r.url: r.status for r in fr2.select("url", "status").collect()}
+    cp = store.read(spark, "crawl_parse")
+    linked = {r.url for r in cp.select("url").distinct().collect()}
+    recreated = fetched_urls & linked
+    vanished = fetched_urls - linked
+
+    assert vanished, "need at least one purged-and-not-relinked URL"
+    for u in vanished:
+        assert u not in rows  # gone from the frontier
+    for u in recreated:
+        assert rows[u] == STATUS_DB_UNFETCHED  # re-entered via links
+
+    # and gone from the FILTER: probing the vanished URLs reads unseen
+    from nutch_spark.functions.urls import url_hash_col
+
+    probe_df = spark.createDataFrame(
+        [(u,) for u in sorted(vanished)], "url string"
+    ).withColumn("url_hash", url_hash_col(F.col("url")))
+    marked = c._seen.mark_seen(probe_df, store.read(spark, "seen"))
+    assert marked.filter(F.col("maybe_seen")).count() == 0
+    # while the recreated ones still probe seen (no false negatives)
+    if recreated:
+        probe2 = spark.createDataFrame(
+            [(u,) for u in sorted(recreated)], "url string"
+        ).withColumn("url_hash", url_hash_col(F.col("url")))
+        m2 = c._seen.mark_seen(probe2, store.read(spark, "seen"))
+        assert m2.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_host_bucket_dropped_centrally(spark, tmp_path):
+    """ADVICE r4: with frontier_host_buckets on, EVERY store.read of
+    the frontier strips the synthetic host_bucket column — consumers
+    that bypass Crawler._frontier() (server /seed → inject, readdb,
+    streaming) see the logical schema."""
+    web = WebConfig(n_hosts=4, pages_per_host=4, zipf=False)
+    store = SnapshotStore(str(tmp_path / "w"))
+    c = Crawler(spark, store, web,
+                CrawlConfig(depth=1, topn=50, frontier_host_buckets=4,
+                            start_time_ms=T0))
+    c.inject()
+    raw = store.read(spark, "frontier")
+    assert "host_bucket" not in raw.columns
+    # the round-trip the r4 advice flagged: a second inject over the
+    # store-read frontier (the server /seed path) must not see the
+    # synthetic column
+    extra = spark.createDataFrame(
+        [("http://example0.com/new-seed",)], "url string"
+    ).withColumn("metadata", F.lit(None).cast("map<string,string>"))
+    merged = inject(spark, raw, extra, T0 + 5)
+    assert "host_bucket" not in merged.columns
+    assert merged.filter(
+        F.col("url") == "http://example0.com/new-seed"
+    ).count() == 1
+
+
+def test_empty_partitioned_frontier_readable(spark, tmp_path):
+    """ADVICE r4: an all-filtered seed list with host-bucket
+    partitioning on must still produce a READABLE (schema-bearing)
+    empty frontier snapshot."""
+    from nutch_spark.functions.urlplugins import DomainFilter, FilterChain
+
+    web = WebConfig(n_hosts=3, pages_per_host=3, zipf=False)
+    store = SnapshotStore(str(tmp_path / "w"))
+    c = Crawler(
+        spark, store, web,
+        CrawlConfig(depth=1, frontier_host_buckets=4, start_time_ms=T0,
+                    url_filters=FilterChain(
+                        [DomainFilter(["no-such-domain.test"])])),
+    )
+    c.inject()
+    fr = store.read(spark, "frontier")
+    assert fr.count() == 0
+    assert "url" in fr.columns and "host_bucket" not in fr.columns
