@@ -818,12 +818,23 @@ class RegexRuleFilter:
     def series(self, s: pd.Series) -> pd.Series:
         """Vectorized first-match-wins: one whole-Series contains() PER
         RULE, masking already-decided rows out of later rules."""
+        import warnings
+
         out = pd.Series(False, index=s.index)
         undecided = s.notna()
         for sign, pat in self._rules:
             if not undecided.any():
                 break
-            hit = undecided & s.str.contains(pat, na=False, regex=True)
+            with warnings.catch_warnings():
+                # rule patterns may legitimately contain capture groups
+                # (backreferences forbid a blanket (?: rewrite); we only
+                # test membership, so pandas' "has match groups" hint
+                # does not apply
+                warnings.filterwarnings(
+                    "ignore", message=".*has match groups.*",
+                    category=UserWarning,
+                )
+                hit = undecided & s.str.contains(pat, na=False, regex=True)
             if sign:
                 out |= hit
             undecided &= ~hit

@@ -865,3 +865,44 @@ def test_pyfiles_zip_importable(tmp_path):
         capture_output=True, text=True, cwd=str(tmp_path),
     )
     assert out.stdout.strip() == "http://x.com/a/b", out.stderr
+
+
+def test_gate_registry_pinned_at_driver_window():
+    """The correctness driver oracles only the FIRST 50 queries()
+    entries (r02 silently lost 7 gates past the window). The registry
+    is pinned: exactly 50 entries, every entry has an oracle twin, and
+    every gate that has ever been green stays present — adding a new
+    gate requires merging two existing ones first (tag-union), never
+    growing the dict."""
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert len(q) == 50, f"registry must stay at 50 entries, got {len(q)}"
+    assert set(q) == set(o), (
+        "every queries() entry needs an oracle_sql() twin: "
+        f"missing={set(q) - set(o)}, orphaned={set(o) - set(q)}"
+    )
+    # the r04-green gate set — a silent drop of any of these loses an
+    # operator's oracle row
+    green_r04 = {
+        "readdb_stats", "readdb_topn", "readdb_dump", "hostdb",
+        "dedup_mark", "inject", "generate_topn", "generate_multiseg",
+        "linkdb_invert", "node_degrees", "updatedb", "crawldb_merge",
+        "segment_merge", "segment_list", "completion_stats",
+        "fetch_politeness", "seen_exact", "text_profile_signature",
+        "index_documents", "parse_canonical", "url_normalize_regex",
+        "hostdb_tools", "warc_export", "urlfilter_chain",
+        "bloom_unseen", "linkrank", "link_dumper", "score_update",
+        "updatedb_schedules", "index_plugins", "index_actions",
+        "score_similarity", "score_depth", "score_link",
+        "parsefilter_regex", "parsefilter_nb", "file_dump",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_fingerprints",
+        "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash_pairs",
+        "dedup_embedding", "text_features", "text_repetition",
+        "knn_cosine", "knn_ivf", "media_pipeline", "events_rollup",
+    }
+    assert set(q) == green_r04, (
+        f"gate set changed: dropped={green_r04 - set(q)}, "
+        f"added={set(q) - green_r04} — merge, don't grow/drop"
+    )
