@@ -881,19 +881,34 @@ FROM r WHERE rn = 1
 
 
 def q_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.merge import merge_segments
+    """Two variants tag-unioned into one gate: the plain latest-wins
+    merge with sliceSize, and a SegmentMergeFilter-exercising merge
+    (segment/SegmentMergeFilter.java any-veto over the per-URL record
+    bundle) keeping only URLs present in BOTH input segments."""
+    from .operators.merge import RequireAllSegmentsFilter, merge_segments
 
     _views(spark, sf_dir, ["orders"])
     sa = spark.sql(SEG_A_SQL)
     sb = spark.sql(SEG_B_SQL)
-    out = merge_segments([sa, sb], slice_size=1000)
-    return out.select(
+    plain = merge_segments([sa, sb], slice_size=1000).select(
         "url",
         F.col("status").cast("long").alias("status"),
         F.col("fetch_time").cast("long").alias("fetch_time"),
         "segment",
         F.col("slice").cast("long").alias("slice"),
+        F.lit("plain").alias("variant"),
     )
+    filtered = merge_segments(
+        [sa, sb], merge_filters=[RequireAllSegmentsFilter(2)]
+    ).select(
+        "url",
+        F.col("status").cast("long").alias("status"),
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+        "segment",
+        F.lit(None).cast("long").alias("slice"),
+        F.lit("require_all").alias("variant"),
+    )
+    return plain.unionByName(filtered)
 
 
 ORACLE_SEGMENT_MERGE = f"""
@@ -904,11 +919,19 @@ r AS (SELECT *, row_number() OVER (
         PARTITION BY url ORDER BY fetch_time DESC, segment DESC) AS rn
       FROM u),
 w AS (SELECT *, row_number() OVER (ORDER BY url_hash, url) AS gpos
-      FROM r WHERE rn = 1)
+      FROM r WHERE rn = 1),
+both_segs AS (SELECT url FROM u GROUP BY url
+              HAVING count(DISTINCT segment) >= 2)
 SELECT url, cast(status as bigint) AS status,
        cast(fetch_time as bigint) AS fetch_time, segment,
-       cast(cast(floor((gpos - 1) / 1000) as int) as bigint) AS slice
+       cast(cast(floor((gpos - 1) / 1000) as int) as bigint) AS slice,
+       'plain' AS variant
 FROM w
+UNION ALL
+SELECT r.url, cast(status as bigint) AS status,
+       cast(fetch_time as bigint) AS fetch_time, segment,
+       cast(NULL as bigint) AS slice, 'require_all' AS variant
+FROM r JOIN both_segs ON r.url = both_segs.url WHERE rn = 1
 """
 
 

@@ -88,21 +88,92 @@ def merge_crawldbs(
     )
 
 
+class SegmentMergeFilter:
+    """Extension point ≙ segment/SegmentMergeFilter.java: a per-URL
+    veto that sees the FULL record bundle being merged for that key —
+    every row the URL has across all input segments (the reference
+    hands the reduce group: generate/fetch/signature datums, content,
+    parse data/text, linked datums) — so it can filter "on more
+    sophisticated criteria than just URLs", e.g. parse metadata. Like
+    SegmentMergeFilters.filter (SegmentMergeFilters.java:70-85), the
+    chain is ANY-VETO: one filter returning false drops the URL from
+    the merged segment entirely.
+
+    Spark shape: ``accept(key_col, rows_col) -> boolean Column`` where
+    ``rows_col`` is ``array<struct<all input columns>>`` — the bundle
+    is assembled with collect_list over the same url-partitioned
+    window the latest-wins merge already shuffles on, so the hook adds
+    no exchange. Express per-bundle criteria with F.exists/F.filter/
+    F.transform over the array (JVM-side higher-order functions, no
+    Python)."""
+
+    def accept(self, key_col, rows_col):
+        raise NotImplementedError
+
+
+class RequireAllSegmentsFilter(SegmentMergeFilter):
+    """Example merge filter: keep only URLs observed in at least
+    `n_segments` distinct input segments — a bundle-level criterion no
+    plain URLFilter can express."""
+
+    def __init__(self, n_segments: int):
+        self.n_segments = int(n_segments)
+
+    def accept(self, key_col, rows_col):
+        segs = F.array_distinct(
+            F.transform(rows_col, lambda r: r["segment"])
+        )
+        return F.size(segs) >= F.lit(self.n_segments)
+
+
+class MetadataMergeFilter(SegmentMergeFilter):
+    """Example merge filter: keep a URL iff SOME row in its bundle
+    carries metadata[key] (optionally = value) — the reference's
+    motivating case, filtering on metadata collected while parsing."""
+
+    def __init__(self, key: str, value: str | None = None):
+        self.key, self.value = key, value
+
+    def accept(self, key_col, rows_col):
+        if self.value is None:
+            return F.exists(
+                rows_col, lambda r: r["metadata"][self.key].isNotNull()
+            )
+        return F.exists(
+            rows_col, lambda r: r["metadata"][self.key] == F.lit(self.value)
+        )
+
+
 def merge_segments(
     segments: list[DataFrame],
     slice_size: int | None = None,
     url_filters=None,  # functions.urlplugins.FilterChain | None
+    merge_filters=None,  # list[SegmentMergeFilter | callable] | None
 ) -> DataFrame:
     """Per-URL latest row across segments; optional slicing adds a
     `slice` column (row_number div slice_size — SegmentMerger's
     sliceSize semantics, deterministic by url_hash order). With
     `url_filters`, rows failing the chain are dropped (SegmentMerger
-    -filter, segment/SegmentMerger.java)."""
+    -filter, segment/SegmentMerger.java). `merge_filters` is the
+    SegmentMergeFilter extension point (any-veto per URL over the full
+    record bundle — see the class docstring); following the reference,
+    URL filters run first (map side) and merge filters on the
+    collected reduce group (SegmentMerger.java reduce)."""
     u = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), segments)
     if url_filters is not None:
         from ..functions.urlplugins import filter_pred
 
         u = u.filter(filter_pred(url_filters, F.col("url")))
+    if merge_filters:
+        rows_col = F.collect_list(
+            F.struct(*[F.col(c) for c in u.columns])
+        ).over(Window.partitionBy("url"))
+        u = u.withColumn("_rows", rows_col)
+        pred = F.lit(True)
+        for flt in merge_filters:
+            fn = flt.accept if hasattr(flt, "accept") else flt
+            pred = pred & fn(F.col("url"), F.col("_rows"))
+        u = u.filter(pred).drop("_rows")
     w = Window.partitionBy("url").orderBy(
         F.desc("fetch_time"), F.desc("segment")
     )

@@ -141,3 +141,66 @@ def test_merge_filters_linkdb_and_segments(spark):
     )
     out = merge_segments([seg], url_filters=chain)
     assert [r.url for r in out.collect()] == ["http://a.example.com/x"]
+
+
+def test_segment_merge_filter_any_veto(spark):
+    """SegmentMergeFilter extension point (SegmentMergeFilter.java /
+    SegmentMergeFilters.java:70-85): each filter sees the URL's FULL
+    record bundle across all segments; ANY filter returning false
+    drops the URL from the merged output entirely — including rows in
+    segments that would individually survive."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.merge import (
+        MetadataMergeFilter,
+        RequireAllSegmentsFilter,
+        merge_segments,
+    )
+
+    rows_a = [
+        ("http://a.com/1", 11, 33, 1000, "segA", {"lang": "en"}),
+        ("http://a.com/2", 12, 33, 1000, "segA", {}),
+        ("http://a.com/3", 13, 33, 1000, "segA", {"lang": "de"}),
+    ]
+    rows_b = [
+        ("http://a.com/1", 11, 33, 2000, "segB", {}),
+        ("http://a.com/3", 13, 33, 2000, "segB", {}),
+        ("http://a.com/4", 14, 33, 2000, "segB", {"lang": "en"}),
+    ]
+    schema = ("url string, url_hash long, status int, fetch_time long,"
+              " segment string, metadata map<string,string>")
+    sa = spark.createDataFrame(rows_a, schema)
+    sb = spark.createDataFrame(rows_b, schema)
+
+    # bundle-level criterion: URL must appear in both segments
+    got = merge_segments([sa, sb],
+                         merge_filters=[RequireAllSegmentsFilter(2)])
+    urls = {r.url for r in got.select("url").collect()}
+    assert urls == {"http://a.com/1", "http://a.com/3"}
+    # latest-wins still applies to survivors
+    seg = {r.url: r.segment for r in got.collect()}
+    assert seg == {"http://a.com/1": "segB", "http://a.com/3": "segB"}
+
+    # the filter reads ANY row of the bundle: /1's lang rides only on
+    # the segA row, yet the (winning) segB row survives through it
+    got2 = merge_segments([sa, sb],
+                          merge_filters=[MetadataMergeFilter("lang")])
+    urls2 = {r.url for r in got2.select("url").collect()}
+    assert urls2 == {"http://a.com/1", "http://a.com/3", "http://a.com/4"}
+
+    # chain is any-veto (AND): both criteria must hold
+    got3 = merge_segments(
+        [sa, sb],
+        merge_filters=[RequireAllSegmentsFilter(2),
+                       MetadataMergeFilter("lang", "en")],
+    )
+    assert {r.url for r in got3.select("url").collect()} == {"http://a.com/1"}
+
+    # plain callables work too
+    got4 = merge_segments(
+        [sa, sb],
+        merge_filters=[lambda key, rows: F.size(rows) >= 2],
+    )
+    assert {r.url for r in got4.select("url").collect()} == {
+        "http://a.com/1", "http://a.com/3"
+    }
