@@ -30,8 +30,14 @@ page, drops every outlink whose URL contains no wordlist word
 outlinks column rather than contributing parse_meta fields — and runs
 as a pure Column program (model tables as map literals).
 
-Out of scope (documented): parse-metatags and headings operate on
-HTML meta/hN tags that the synthetic span documents do not carry.
+parse-metatags (MetaTagsParser.java) and headings
+(HeadingsParseFilter.java) complete the shipped HtmlParseFilter
+family: the synthetic web can emit the HTML head as spans
+(WebConfig.meta_spans — kind="meta"/"heading", media_ref = tag name,
+text = value), and both filters are pure Column programs over that
+span array. Multi-valued Metadata.add values are represented as one
+tab-joined string per key (the map column is string-valued); split on
+"\t" to recover the value list.
 """
 
 from __future__ import annotations
@@ -134,6 +140,116 @@ class NaiveBayesParseFilter:
 
 
 @dataclass(frozen=True)
+class MetaTagsParser:
+    """parse-metatags (MetaTagsParser.java:41-124): lift every <meta>
+    tag whose lowercased name is configured (or all, with "*") into
+    parse metadata under `metatag.<lcname>`; general and http-equiv
+    tags get identical treatment (filter(), :99-123), and parse
+    metadata already collected by EARLIER chain members is mirrored
+    under the prefix too (the tika-compat loop, :105-108). Repeated
+    tag names append (Metadata.add) — represented here as one
+    tab-joined value string per key.
+
+    Dynamic-keyed: tag names are data, so this filter contributes a
+    `dynamic_entries` array<struct<key,value>> Column (assembled with
+    JVM higher-order functions) instead of literal-keyed entries."""
+
+    names: tuple[str, ...] = ("*",)
+
+    def dynamic_entries(self, text: Column, html: Column, spans: Column,
+                        existing: dict[str, Column]) -> Column:
+        star = "*" in self.names
+        nameset = tuple(n.lower() for n in self.names)
+        metas = F.filter(
+            spans,
+            lambda s: (s["kind"] == F.lit("meta"))
+            & s["media_ref"].isNotNull()
+            & s["text"].isNotNull(),
+        )
+        span_entries = F.transform(
+            metas,
+            lambda s: F.struct(
+                F.lower(s["media_ref"]).alias("k"), s["text"].alias("v")
+            ),
+        )
+        # existing parse metadata first (reference iterates
+        # metadata.names() before the tag maps)
+        mirrored = []
+        for k, v in existing.items():
+            lk = k.lower()
+            if star or lk in nameset:
+                mirrored.append(
+                    F.array(F.struct(F.lit(lk).alias("k"), v.alias("v")))
+                )
+        all_e = (
+            F.concat(*mirrored, span_entries) if mirrored else span_entries
+        )
+        all_e = F.filter(all_e, lambda e: e["v"].isNotNull())
+        if not star:
+            all_e = F.filter(all_e, lambda e: e["k"].isin(*nameset))
+        keys = F.array_distinct(F.transform(all_e, lambda e: e["k"]))
+        return F.transform(
+            keys,
+            lambda n: F.struct(
+                F.concat(F.lit("metatag."), n).alias("key"),
+                F.array_join(
+                    F.transform(
+                        F.filter(all_e, lambda e: e["k"] == n),
+                        lambda e: e["v"],
+                    ),
+                    "\t",
+                ).alias("value"),
+            ),
+        )
+
+
+@dataclass(frozen=True)
+class HeadingsParseFilter:
+    """headings plugin (HeadingsParseFilter.java:46-68): for each
+    configured heading tag (case-insensitive element match,
+    :87-106), record its whitespace-collapsed text (whitespacePattern
+    \\s+ → " ", trimmed) in parse metadata under the tag name. With
+    headings.multivalued=false (the default) only the FIRST element of
+    each tag is taken (:97-101 break); true keeps all, tab-joined.
+    Empty headings are skipped (:58-62); a tag with no match
+    contributes no entry (Metadata.add never ran)."""
+
+    headings: tuple[str, ...] = ("h1", "h2")
+    multivalued: bool = False
+
+    wants_spans = True
+
+    def entries(self, text: Column, html: Column,
+                spans: Column) -> dict[str, Column]:
+        out: dict[str, Column] = {}
+        for tag in self.headings:
+            lt = tag.lower()
+            hs = F.filter(
+                spans,
+                lambda s: (s["kind"] == F.lit("heading"))
+                & (F.lower(s["media_ref"]) == F.lit(lt)),
+            )
+            vals = F.transform(
+                hs,
+                lambda s: F.trim(
+                    F.regexp_replace(s["text"], r"\s+", " ")
+                ),
+            )
+            vals = F.filter(
+                vals, lambda v: v.isNotNull() & (F.length(v) > 0)
+            )
+            picked = (
+                F.array_join(vals, "\t")
+                if self.multivalued
+                else F.element_at(vals, 1)
+            )
+            out[tag] = F.when(F.size(vals) > 0, picked).otherwise(
+                F.lit(None).cast("string")
+            )
+        return out
+
+
+@dataclass(frozen=True)
 class ParseFilterChain:
     """HtmlParseFilters: filters run in registration order; a filter
     either contributes parse-metadata entries (`entries`, later fields
@@ -151,22 +267,43 @@ class ParseFilterChain:
         out_col: str = "parse_meta",
     ) -> DataFrame:
         text = F.col(text_col)
-        html = raw_content_col(F.col(spans_col))
+        spans = F.col(spans_col)
+        html = raw_content_col(spans)
         entries: dict[str, Column] = {}
+        dynamic: list[Column] = []  # array<struct<key,value>> per filter
         for f in self.filters:
             if hasattr(f, "transform"):
                 parse_data = f.transform(parse_data, text, html)
+            elif hasattr(f, "dynamic_entries"):
+                # data-dependent keys (parse-metatags); sees the
+                # entries accumulated so far, in chain order
+                dynamic.append(
+                    f.dynamic_entries(text, html, spans, dict(entries))
+                )
+            elif getattr(f, "wants_spans", False):
+                entries.update(f.entries(text, html, spans))
             else:
                 entries.update(f.entries(text, html))  # later wins
-        if not entries:
+        if not entries and not dynamic:
             return parse_data.withColumn(
                 out_col, F.lit(None).cast("map<string,string>")
             )
-        return parse_data.withColumn(
-            out_col,
-            F.create_map(
+        if entries:
+            m = F.create_map(
                 *_chain.from_iterable(
                     (F.lit(k), v) for k, v in entries.items()
                 )
-            ),
-        )
+            )
+            # a null value means the filter recorded nothing for the
+            # field (e.g. a heading tag with no element) — absent, not
+            # null, like the reference's Metadata
+            m = F.map_filter(m, lambda k, v: v.isNotNull())
+        else:
+            m = F.create_map().cast("map<string,string>")
+        for d in dynamic:
+            # keys are disjoint by construction (dynamic filters prefix
+            # theirs, e.g. "metatag."); map_concat raises on overlap
+            # under Spark's default dedup policy, surfacing a
+            # misconfigured chain instead of silently dropping a value
+            m = F.map_concat(m, F.map_from_entries(d))
+        return parse_data.withColumn(out_col, m)

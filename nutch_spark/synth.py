@@ -47,6 +47,15 @@ class WebConfig:
     # fraction of ok pages carrying embedded sub-documents (subdoc
     # spans → non-canonical parse entries + canonical-key datums)
     subdoc_frac: float = 0.0
+    # emit HTML head structure as spans: kind="meta" (media_ref = tag
+    # name, text = value; repeated names ≙ multiple <meta> tags) and
+    # kind="heading" (media_ref = h1/h2, text = heading text). Opt-in:
+    # the default web keeps the span fixtures of earlier rounds
+    # byte-identical. Unknown kinds are inert to text/outlink
+    # extraction (parse._text_col/_raw_outlinks_col filter by kind),
+    # so these spans ride the span-sequence invariant untouched and
+    # feed parse-metatags / headings filters.
+    meta_spans: bool = False
 
 
 def _h(cfg: WebConfig, *parts: object) -> int:
@@ -157,6 +166,34 @@ def page_spans(cfg: WebConfig, url: str) -> list[dict]:
     links = page_outlinks(cfg, url)
     spans: list[dict] = []
     off = 0
+    if cfg.meta_spans:
+        def _w(k: int) -> str:
+            return _WORDS[(cid >> (5 * k)) % len(_WORDS)]
+
+        head = [
+            ("meta", "description", f"all about {_w(0)} and {_w(1)}"),
+            ("meta", "keywords", _w(2)),
+        ]
+        if cid % 2:  # multi-valued keywords (two <meta name=keywords>)
+            head.append(("meta", "keywords", _w(3)))
+        if cid % 3 == 0:  # mixed-case tag name → lowercased by the parser
+            head.append(("meta", "DC.creator", f"{_w(4)} author"))
+        if cid % 5 == 0:  # http-equiv rides the same span shape
+            head.append(("meta", "refresh", "300"))
+        # heading text carries surplus whitespace on purpose — the
+        # headings filter must collapse it (HeadingsParseFilter
+        # whitespacePattern)
+        head.append(("heading", "h1", f"  {_w(0).title()}   page of {_w(1)} "))
+        if cid % 2:
+            head.append(("heading", "h2", f"section {_w(2)}"))
+        if cid % 4 == 0:  # second h1 → only kept when headings.multivalued
+            head.append(("heading", "h1", f"alt {_w(3)} title"))
+        for kind, name, value in head:
+            spans.append(
+                {"kind": kind, "text": value, "media_ref": name,
+                 "offset": off}
+            )
+            off += 1
     n_text = 2 + cid % 3
     li = 0
     for t in range(n_text):
