@@ -369,7 +369,7 @@ def run_phase(phase: str) -> dict:
 # the remaining budget covers its estimate; its subprocess timeout is
 # the remaining budget (less a flush margin), so one stuck phase can't
 # eat the whole run.
-_EST = {"low": 480, "high": 200, "e2e": 180, "e2e_plugins": 280,
+_EST = {"low": 440, "high": 180, "e2e": 180, "e2e_plugins": 280,
         "queries": 340}
 
 

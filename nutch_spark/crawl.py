@@ -355,11 +355,29 @@ class Crawler:
 
         seen_tbl = self._ensure_seen()
         cp = crawl_parse.withColumn("__uh", url_hash_col(F.col("url")))
-        marked = self._seen.mark_seen(cp, seen_tbl, url_hash_col="__uh")
-        cp_seen = marked.filter(F.col("maybe_seen")).drop(
+        # probe NARROW: only the cycle's distinct url_hashes go through
+        # the Arrow/pandas probe (16 bytes a row), never the wide
+        # crawl_parse columns (metadata maps through Arrow dominated
+        # the first cut — 2.6× on the plugins-on e2e); the boolean
+        # verdict joins back JVM-side (the key frame is cycle-sized, so
+        # AQE broadcasts it; at frontier scale it's an equi-join on the
+        # hash both sides are already organized by). localCheckpoint:
+        # the verdict is consumed by BOTH the frontier write and the
+        # seen-table delta — one probe, not two.
+        keys = cp.select(F.col("__uh").alias("url_hash")).distinct()
+        marked_keys = self._seen.mark_seen(
+            keys, seen_tbl
+        ).localCheckpoint(eager=False)
+        cp = cp.join(
+            marked_keys.select(
+                F.col("url_hash").alias("__uh"), "maybe_seen"
+            ),
+            "__uh",
+        )
+        cp_seen = cp.filter(F.col("maybe_seen")).drop(
             "maybe_seen", "__uh"
         )
-        cp_new = marked.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        cp_new = cp.filter(~F.col("maybe_seen")).drop("maybe_seen")
         if self.cfg.seen_audit:
             leaked = (
                 cp_new.select("url").distinct()
@@ -378,7 +396,7 @@ class Crawler:
         )
         fr2 = fr2.unionByName(fr2_new)
 
-        delta = cp_new.select(F.col("__uh").alias("url_hash")).distinct()
+        delta = marked_keys.filter(~F.col("maybe_seen")).select("url_hash")
         seen_next = self._seen.add(seen_tbl, delta)
         if self.cfg.purge_404 and isinstance(self._seen, CuckooSeenFilter):
             # purged keys leave the filter UNLESS this cycle's parse

@@ -1256,10 +1256,22 @@ def q_bloom_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = bs.unseen(cands, bs.build(fr)).select(
         F.lit("bloom").alias("filter"), "url"
     )
-    cuckoo = cf.unseen(cands, cf.build(fr)).select(
+    # third leg: DELETION replay (the operation blooms can't do) —
+    # every seen key with orderkey % 7 = 0 is delete()d (two-round
+    # rank-guarded occurrence consumption at i1/i2 + exact stash
+    # removal, seen.py _remove) and the same candidates re-probed
+    built = cf.build(fr).localCheckpoint(eager=True)
+    cuckoo = cf.unseen(cands, built).select(
         F.lit("cuckoo").alias("filter"), "url"
     )
-    return bloom.unionAll(cuckoo)
+    gone = spark.sql(
+        "SELECT cast(o_orderkey * 2654435761 as bigint) AS url_hash "
+        "FROM orders WHERE o_orderkey % 7 = 0"
+    )
+    cuckoo_del = cf.unseen(cands, cf.delete(built, gone)).select(
+        F.lit("cuckoo_deleted").alias("filter"), "url"
+    )
+    return bloom.unionAll(cuckoo).unionAll(cuckoo_del)
 
 
 # Bloom branch — SeenFilter(n_buckets=16) defaults: m_bits =
@@ -1344,11 +1356,79 @@ chit AS (
   JOIN stored s ON s.shard = p.shard AND s.idx = p.idx AND s.fp = p.fp
   UNION
   SELECT DISTINCT c.url FROM cprobe c
-  JOIN stash t ON t.shard = c.shard AND t.h = c.h)
+  JOIN stash t ON t.shard = c.shard AND t.h = c.h),
+-- deletion replay (seen.py _remove, two deterministic rounds): every
+-- delete key claims one stored OCCURRENCE of its fingerprint at i1
+-- (rank within (shard, i1, fp) by key < occurrence count), the spill
+-- at i2 against post-round-A counts, the rest remove their exact key
+-- from the stash. scnt is the stored MULTISET (placed_a ∪all placed_b
+-- — distinct keys can store the same (idx, fp) in different slots).
+scnt AS (
+  SELECT shard, idx, fp, count(*) AS cnt FROM (
+    SELECT * FROM placed_a UNION ALL SELECT * FROM placed_b) u
+  GROUP BY shard, idx, fp),
+dck AS (
+  SELECT h, ((h % 16) + 16) % 16 AS shard,
+         case when ((h >> 32) & 65535) = 0 then 1
+              else (h >> 32) & 65535 end AS fp,
+         h & 4095 AS i1
+  FROM (SELECT DISTINCT cast(o_orderkey * 2654435761 as bigint) AS h
+        FROM orders WHERE o_orderkey % 7 = 0) d),
+dck2 AS (SELECT *, xor(i1, (fp * 1540483477) & 4095) AS i2 FROM dck),
+dra AS (
+  SELECT *, row_number() OVER (PARTITION BY shard, i1, fp ORDER BY h)
+            - 1 AS r1
+  FROM dck2),
+dtake_a AS (
+  SELECT d.* FROM dra d
+  JOIN scnt s ON s.shard = d.shard AND s.idx = d.i1 AND s.fp = d.fp
+  WHERE d.r1 < s.cnt),
+cons_a AS (SELECT shard, i1 AS idx, fp, count(*) AS c FROM dtake_a
+           GROUP BY shard, i1, fp),
+dspill AS (
+  SELECT d.* FROM dra d
+  LEFT JOIN scnt s ON s.shard = d.shard AND s.idx = d.i1 AND s.fp = d.fp
+  WHERE d.r1 >= coalesce(s.cnt, 0)),
+drb AS (
+  SELECT *, row_number() OVER (PARTITION BY shard, i2, fp ORDER BY h)
+            - 1 AS r2
+  FROM dspill),
+dtake_b AS (
+  SELECT d.* FROM drb d
+  LEFT JOIN scnt s ON s.shard = d.shard AND s.idx = d.i2 AND s.fp = d.fp
+  LEFT JOIN cons_a a ON a.shard = d.shard AND a.idx = d.i2 AND a.fp = d.fp
+  WHERE d.r2 < coalesce(s.cnt, 0) - coalesce(a.c, 0)),
+cons_b AS (SELECT shard, i2 AS idx, fp, count(*) AS c FROM dtake_b
+           GROUP BY shard, i2, fp),
+dstash AS (
+  SELECT d.* FROM drb d
+  LEFT JOIN scnt s ON s.shard = d.shard AND s.idx = d.i2 AND s.fp = d.fp
+  LEFT JOIN cons_a a ON a.shard = d.shard AND a.idx = d.i2 AND a.fp = d.fp
+  WHERE d.r2 >= coalesce(s.cnt, 0) - coalesce(a.c, 0)),
+post_stored AS (
+  SELECT s.shard, s.idx, s.fp
+  FROM scnt s
+  LEFT JOIN cons_a a ON a.shard = s.shard AND a.idx = s.idx AND a.fp = s.fp
+  LEFT JOIN cons_b b ON b.shard = s.shard AND b.idx = s.idx AND b.fp = s.fp
+  WHERE s.cnt - coalesce(a.c, 0) - coalesce(b.c, 0) > 0),
+post_stash AS (
+  SELECT t.shard, t.h FROM stash t
+  LEFT JOIN dstash d ON d.shard = t.shard AND d.h = t.h
+  WHERE d.h IS NULL),
+dhit AS (
+  SELECT DISTINCT p.url FROM cprobe2 p
+  JOIN post_stored s ON s.shard = p.shard AND s.idx = p.idx
+                    AND s.fp = p.fp
+  UNION
+  SELECT DISTINCT c.url FROM cprobe c
+  JOIN post_stash t ON t.shard = c.shard AND t.h = c.h)
 SELECT 'bloom' AS filter, url FROM j WHERE missing = 1
 UNION ALL
 SELECT 'cuckoo' AS filter, url FROM cand
 WHERE url NOT IN (SELECT url FROM chit)
+UNION ALL
+SELECT 'cuckoo_deleted' AS filter, url FROM cand
+WHERE url NOT IN (SELECT url FROM dhit)
 """
 
 

@@ -289,17 +289,19 @@ def unseen_exact(candidates: DataFrame, frontier: DataFrame, key: str = "url") -
 # Deliberate divergence from the paper, documented: the build places
 # keys with TWO deterministic greedy rounds (every key tries i1; the
 # spill tries i2; rank-within-index by key order decides who fits)
-# plus an EXACT overflow stash, instead of the randomized kick loop.
-# Lookup and delete semantics are the canonical ones; the only cost is
-# a lower slot load before keys start landing in the stash (the kick
-# loop reaches ~95% load, two-round greedy ~85% at slots=4 — size m
-# accordingly). What it buys: the build is order-independent and a
-# pure window-function program, so the correctness gate replays the
-# ENTIRE filter — placement, fingerprints, stash, probe — in ANSI SQL
-# (see gate.py ORACLE_BLOOM_UNSEEN's cuckoo branch), the same
-# full-oracle discipline as the bloom's position replay; and inserts
-# never loop (at 10^10 keys a kick sequence is a per-row data-dependent
-# loop, hostile to vectorization).
+# plus an EXACT overflow stash, instead of the randomized kick loop;
+# DELETE mirrors it with the same two deterministic rounds (_remove),
+# instead of the paper's sequential per-delete slot scan. Lookup
+# semantics are the canonical ones; the only cost is a lower slot
+# load before keys start landing in the stash (the kick loop reaches
+# ~95% load, two-round greedy ~85% at slots=4 — size m accordingly).
+# What it buys: build AND delete are order-independent pure
+# window-function programs, so the correctness gate replays the
+# ENTIRE filter — placement, fingerprints, stash, probe, deletion —
+# in ANSI SQL (see gate.py ORACLE_BLOOM_UNSEEN's cuckoo branches),
+# the same full-oracle discipline as the bloom's position replay; and
+# neither inserts nor deletes loop per row (at 10^10 keys a
+# data-dependent per-key branch chain is hostile to vectorization).
 # ---------------------------------------------------------------------
 
 CUCKOO_SCHEMA = T.StructType(
@@ -334,6 +336,17 @@ def _rank_within(groups: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     reps = np.diff(np.r_[starts, len(g)])
     rank = np.arange(len(g)) - np.repeat(starts, reps)
     return order, rank
+
+
+def _group_counts(idx: np.ndarray, f16: np.ndarray):
+    """Yield (index, fingerprint, count) per unique (idx, fp) pair of
+    the parallel consumer arrays — the per-group removal quota."""
+    if not len(idx):
+        return
+    comp = idx.astype(np.int64) * np.int64(1 << 16) + f16.astype(np.int64)
+    uniq, counts = np.unique(comp, return_counts=True)
+    for u, c in zip(uniq, counts):
+        yield int(u >> 16), np.uint16(u & 0xFFFF), int(c)
 
 
 class CuckooSeenFilter:
@@ -490,13 +503,70 @@ class CuckooSeenFilter:
             .applyInPandas(merge, CUCKOO_SCHEMA)
         )
 
+    def _remove(self, hs: np.ndarray, table: np.ndarray,
+                stash: list[int]) -> int:
+        """Two-round greedy delete of DISTINCT sorted keys, the mirror
+        of _place: round A, every key claims one occurrence of its
+        fingerprint at i1 (rank-by-key within (i1, fp), guarded by the
+        occurrence count there); round B, the spill claims at i2
+        against post-A availability; the rest remove their EXACT key
+        from the stash (no-op if absent). Deliberate divergence from
+        the paper's per-delete slot scan, documented like the build's
+        two-round placement: order-independent and window-expressible,
+        so the gate replays the whole delete in ANSI SQL — and the
+        kernel is vectorized (per-(index,fp) group ops, no per-delete
+        branch chain). Same membership caveat as any cuckoo delete
+        (§3.2): only delete inserted keys. Returns #removed."""
+        if not len(hs):
+            return 0
+        m = self.m
+        fp, i1, i2 = _cuckoo_parts(hs, m)
+        fp16 = fp.astype(np.uint16)
+        removed = 0
+        # round A at i1: rank within (i1, fp) by key order, guarded by
+        # the occurrence count currently stored there
+        gA = i1 * np.int64(1 << 16) + fp
+        oA, rA = _rank_within(gA)
+        availA = (table[i1[oA]] == fp16[oA][:, None]).sum(axis=1)
+        takeA = rA < availA
+        for v, f, c in _group_counts(i1[oA[takeA]], fp16[oA[takeA]]):
+            slots_f = np.flatnonzero(table[v] == f)
+            table[v, slots_f[:c]] = 0
+            removed += c
+        # round B: the spill tries i2 against post-A occupancy
+        rem = oA[~takeA]
+        rem = rem[np.argsort(hs[rem], kind="stable")]
+        stash_arr = np.asarray(stash, dtype=np.int64)
+        if len(rem):
+            gB = i2[rem] * np.int64(1 << 16) + fp[rem]
+            oB, rB = _rank_within(gB)
+            availB = (table[i2[rem[oB]]] == fp16[rem[oB]][:, None]).sum(
+                axis=1
+            )
+            takeB = rB < availB
+            for v, f, c in _group_counts(
+                i2[rem[oB[takeB]]], fp16[rem[oB[takeB]]]
+            ):
+                slots_f = np.flatnonzero(table[v] == f)
+                table[v, slots_f[:c]] = 0
+                removed += c
+            # the rest: exact-key stash removal
+            left = hs[rem[oB[~takeB]]]
+            if len(left) and len(stash_arr):
+                gone = np.isin(stash_arr, left)
+                removed += int(gone.sum())
+                stash_arr = stash_arr[~gone]
+        stash[:] = stash_arr.tolist()
+        return removed
+
     def delete(self, seen: DataFrame, gone_urls: DataFrame) -> DataFrame:
         """Remove ONE stored occurrence per deleted url_hash (slot at
-        i1, else i2, else stash) — the filter operation blooms can't
-        do. Canonical caveat (paper §3.2): only delete keys that were
-        inserted; a delete may remove another key's identical
-        fingerprint at a shared index, which stays membership-safe
-        because the probe matches the survivor."""
+        i1, else i2, else exact stash key) — the filter operation
+        blooms can't do. Canonical caveat (paper §3.2): only delete
+        keys that were inserted; a delete may remove another key's
+        identical fingerprint at a shared index, which stays
+        membership-safe because the probe matches the survivor. The
+        per-shard kernel is the order-independent two-round _remove."""
         filt = self
         delta = gone_urls.select(
             self.shard_col(F.col("url_hash")).alias("shard"), "url_hash"
@@ -520,24 +590,7 @@ class CuckooSeenFilter:
                 if len(dpdf)
                 else np.zeros(0, dtype=np.int64)
             )
-            fp, i1, i2 = _cuckoo_parts(hs, filt.m)
-            # per-delete constant-time row ops (delete volume per cycle
-            # is the purge set — small next to the table)
-            for j in range(len(hs)):
-                f = np.uint16(fp[j])
-                hit = np.flatnonzero(table[i1[j]] == f)
-                if len(hit):
-                    table[i1[j], hit[0]] = 0
-                    n -= 1
-                    continue
-                hit = np.flatnonzero(table[i2[j]] == f)
-                if len(hit):
-                    table[i2[j], hit[0]] = 0
-                    n -= 1
-                    continue
-                if hs[j] in stash:
-                    stash.remove(hs[j])
-                    n -= 1
+            n -= filt._remove(hs, table, stash)
             return pd.DataFrame(
                 {
                     "shard": [shard],

@@ -906,3 +906,67 @@ def test_gate_registry_pinned_at_driver_window():
         f"gate set changed: dropped={green_r04 - set(q)}, "
         f"added={set(q) - green_r04} — merge, don't grow/drop"
     )
+
+
+def test_cuckoo_two_round_delete_multiset(spark):
+    """The order-independent two-round delete (seen.py _remove):
+    deletes consume stored OCCURRENCES of their fingerprint at i1
+    first (rank-guarded by the count there), then i2, then the exact
+    stash key — mirroring the build's two-round placement. Crafted
+    keys sharing (i1, fp) pin the multiset behavior: removing some
+    occurrences keeps the survivors (and, per the documented paper
+    §3.2 caveat, anything sharing their fingerprint) member-positive."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.seen import CuckooSeenFilter
+
+    cf = CuckooSeenFilter(n_shards=1, m_indexes=16, slots=4)
+    # ten distinct keys, all fp=5, i1=3 → 4 fill i1, 4 fill i2, 2 stash
+    keys = [(5 << 32) | (k << 8) | 3 for k in range(10)]
+    fr = spark.createDataFrame([(h,) for h in keys], "url_hash long")
+    built = cf.build(fr).localCheckpoint()
+    row = built.collect()[0]
+    assert row.n_keys == 10
+    stash = np.frombuffer(row.stash, dtype=np.int64)
+    assert len(stash) == 2  # overflow past both 4-slot indexes
+
+    # delete three slot-stored keys: three occurrences consumed at i1
+    gone = spark.createDataFrame([(h,) for h in keys[:3]], "url_hash long")
+    after = cf.delete(built, gone).localCheckpoint()
+    arow = after.collect()[0]
+    assert arow.n_keys == 7
+    table = np.frombuffer(arow.table, dtype=np.uint16)
+    assert (table == 5).sum() == 5  # 8 slot occurrences - 3
+    assert len(np.frombuffer(arow.stash, dtype=np.int64)) == 2
+    # survivors (and fp-sharing deleted keys — the documented caveat)
+    # all still probe seen: occurrences of fp=5 remain at i1/i2
+    probe = spark.createDataFrame(
+        [(h,) for h in keys], "url_hash long"
+    )
+    marked = cf.mark_seen(probe, after)
+    assert marked.filter(~F.col("maybe_seen")).count() == 0
+
+    # deleting the stashed keys consumes SLOTS first (i1 preference,
+    # same as the sequential paper scan) — their exact stash entries
+    # remain, so they stay member-positive via the stash
+    stash_keys = [int(h) for h in stash]
+    gone2 = spark.createDataFrame(
+        [(h,) for h in stash_keys], "url_hash long"
+    )
+    after2 = cf.delete(after, gone2).collect()[0]
+    assert after2.n_keys == 5
+    t2 = np.frombuffer(after2.table, dtype=np.uint16)
+    assert (t2 == 5).sum() == 3
+    assert len(np.frombuffer(after2.stash, dtype=np.int64)) == 2
+
+    # delete everything left: slots drain, then the stash empties by
+    # exact key; a second full delete is a no-op (nothing stored)
+    gone3 = spark.createDataFrame([(h,) for h in keys], "url_hash long")
+    d1 = cf.delete(spark.createDataFrame([after2], after.schema), gone3)
+    d1 = d1.localCheckpoint()
+    r1 = d1.collect()[0]
+    assert (np.frombuffer(r1.table, dtype=np.uint16) == 5).sum() == 0
+    assert len(np.frombuffer(r1.stash, dtype=np.int64)) == 0
+    r2 = cf.delete(d1, gone3).collect()[0]
+    assert r2.n_keys == r1.n_keys  # no-op on absent keys
