@@ -328,76 +328,20 @@ class Crawler:
 
     def _updatedb_with_seen(self, fr, res, crawl_parse, now: int,
                             upd_kw: dict):
-        """UpdateDb with the URL-seen filter pruning the frontier join.
-
-        Routing (per URL — every datum of a URL shares its probe
-        verdict, so a URL's whole reduce group lands on one side):
-
-          * maybe_seen=True datums take the normal frontier full-outer
-            merge. False positives land here too and are created by
-            the lone-link branch — identical semantics, just via the
-            big join.
-          * maybe_seen=False datums are DEFINITELY absent from the
-            frontier (bloom/cuckoo have no false negatives while the
-            filter ⊇ frontier invariant holds — see _ensure_seen), so
-            they take the same reduce program against an EMPTY
-            frontier: zero frontier-side shuffle for the dominant
-            mostly-new outlink stream.
-
-        Fetch datums need no probe: every fetched URL came off the
-        fetchlist ⊂ frontier. Returns (fr2, next seen table): the
-        filter learns the definitely-new keys (false-positive creations
-        are already reported seen — that's what a false positive is),
-        and with cuckoo + purge_404, purged-and-not-recreated keys are
-        delete()d so they can be re-discovered later."""
-        from .functions.urls import url_hash_col
+        """UpdateDb with the URL-seen filter pruning the frontier join
+        (the shared split core lives in updatedb_seen_split — routing
+        semantics, narrow probe, and the filter ⊇ frontier invariant
+        are documented there; _ensure_seen maintains the invariant).
+        Additionally, with cuckoo + purge_404, purged-and-not-recreated
+        keys are delete()d so they can be re-discovered later."""
         from .operators.seen import CuckooSeenFilter
+        from .operators.updatedb import updatedb_seen_split
 
         seen_tbl = self._ensure_seen()
-        cp = crawl_parse.withColumn("__uh", url_hash_col(F.col("url")))
-        # probe NARROW: only the cycle's distinct url_hashes go through
-        # the Arrow/pandas probe (16 bytes a row), never the wide
-        # crawl_parse columns (metadata maps through Arrow dominated
-        # the first cut — 2.6× on the plugins-on e2e); the boolean
-        # verdict joins back JVM-side (the key frame is cycle-sized, so
-        # AQE broadcasts it; at frontier scale it's an equi-join on the
-        # hash both sides are already organized by). localCheckpoint:
-        # the verdict is consumed by BOTH the frontier write and the
-        # seen-table delta — one probe, not two.
-        keys = cp.select(F.col("__uh").alias("url_hash")).distinct()
-        marked_keys = self._seen.mark_seen(
-            keys, seen_tbl
-        ).localCheckpoint(eager=False)
-        cp = cp.join(
-            marked_keys.select(
-                F.col("url_hash").alias("__uh"), "maybe_seen"
-            ),
-            "__uh",
+        fr2, seen_next = updatedb_seen_split(
+            self.spark, fr, res, crawl_parse, now,
+            self._seen, seen_tbl, audit=self.cfg.seen_audit, **upd_kw,
         )
-        cp_seen = cp.filter(F.col("maybe_seen")).drop(
-            "maybe_seen", "__uh"
-        )
-        cp_new = cp.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        if self.cfg.seen_audit:
-            leaked = (
-                cp_new.select("url").distinct()
-                .join(fr.select("url"), "url", "inner")
-                .count()
-            )
-            if leaked:
-                raise AssertionError(
-                    f"seen filter reported {leaked} frontier URL(s) as "
-                    "definitely-new (false negative) — filter/frontier "
-                    "out of sync"
-                )
-        fr2 = updatedb(self.spark, fr, res, cp_seen, now, **upd_kw)
-        fr2_new = updatedb(
-            self.spark, None, None, cp_new.drop("__uh"), now, **upd_kw
-        )
-        fr2 = fr2.unionByName(fr2_new)
-
-        delta = marked_keys.filter(~F.col("maybe_seen")).select("url_hash")
-        seen_next = self._seen.add(seen_tbl, delta)
         if self.cfg.purge_404 and isinstance(self._seen, CuckooSeenFilter):
             # purged keys leave the filter UNLESS this cycle's parse
             # stream recreates them (updatedb filters the old row out

@@ -560,3 +560,72 @@ def updatedb(
         F.col("r.modified_time").alias("modified_time"),
         F.col("r.metadata").alias("metadata"),
     )
+
+
+def updatedb_seen_split(
+    spark,
+    frontier: DataFrame | None,
+    fetch_results: DataFrame | None,
+    crawl_parse: DataFrame,
+    cur_time_ms: int,
+    seen_filter,
+    seen_table: DataFrame,
+    audit: bool = False,
+    **updatedb_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """UpdateDb with the URL-seen filter pruning the frontier join —
+    the shared core behind Crawler cycles and the streaming merge.
+
+    Routing (per URL — every datum of a URL shares its probe verdict,
+    so a URL's whole reduce group lands on one side):
+
+      * maybe_seen=True datums take the normal frontier full-outer
+        merge; false positives land here too and are created by the
+        lone-link branch — identical semantics, just via the big join;
+      * maybe_seen=False datums are DEFINITELY absent from the
+        frontier (bloom/cuckoo have no false negatives while the
+        filter ⊇ frontier invariant holds), so they run the same
+        reduce against an EMPTY frontier: zero frontier-side shuffle
+        for the dominant mostly-new outlink stream.
+
+    The probe is NARROW: only the cycle's distinct url_hashes cross
+    Arrow; the verdict localCheckpoints (one probe feeds both outputs)
+    and joins back JVM-side. Fetch datums need no probe — every
+    fetched URL came off the fetchlist ⊆ frontier.
+
+    Returns (merged frontier, next seen table): the filter learns the
+    definitely-new keys; false-positive creations are already reported
+    seen — that is what a false positive is.
+    """
+    cp = crawl_parse.withColumn("__uh", url_hash_col(F.col("url")))
+    keys = cp.select(F.col("__uh").alias("url_hash")).distinct()
+    marked_keys = seen_filter.mark_seen(keys, seen_table).localCheckpoint(
+        eager=False
+    )
+    cp = cp.join(
+        marked_keys.select(F.col("url_hash").alias("__uh"), "maybe_seen"),
+        "__uh",
+    )
+    cp_seen = cp.filter(F.col("maybe_seen")).drop("maybe_seen", "__uh")
+    cp_new = cp.filter(~F.col("maybe_seen")).drop("maybe_seen", "__uh")
+    if audit and frontier is not None:
+        leaked = (
+            cp_new.select("url").distinct()
+            .join(frontier.select("url"), "url", "inner")
+            .count()
+        )
+        if leaked:
+            raise AssertionError(
+                f"seen filter reported {leaked} frontier URL(s) as "
+                "definitely-new (false negative) — filter/frontier out "
+                "of sync"
+            )
+    fr2 = updatedb(
+        spark, frontier, fetch_results, cp_seen, cur_time_ms,
+        **updatedb_kwargs,
+    ).unionByName(
+        updatedb(spark, None, None, cp_new, cur_time_ms,
+                 **updatedb_kwargs)
+    )
+    delta = marked_keys.filter(~F.col("maybe_seen")).select("url_hash")
+    return fr2, seen_filter.add(seen_table, delta)

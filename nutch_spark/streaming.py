@@ -39,6 +39,7 @@ def stream_updatedb(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     schedule: str = "default",
+    seen_filter=None,
 ):
     """Start the streaming merge: parquet files of FETCH_RESULTS rows
     appearing under `incoming_dir` are parsed and folded into the
@@ -49,6 +50,13 @@ def stream_updatedb(
     pure function of the data — replays after a crash produce the same
     frontier, which is what makes foreachBatch + snapshot commits
     exactly-once here.
+
+    `seen_filter` (operators.seen SeenFilter | CuckooSeenFilter) prunes
+    each micro-batch's frontier join exactly like the batch crawl loop:
+    definitely-new outlink datums take the frontier-free reduce, and
+    the seen table learns the batch's new keys — built from the current
+    frontier on first use, then maintained incrementally per batch
+    (same filter ⊇ frontier invariant, same row-identical result).
     """
 
     def _clock(batch_df) -> int:
@@ -70,8 +78,23 @@ def stream_updatedb(
             if store.exists("frontier")
             else None
         )
-        merged = updatedb(spark, fr, batch_df, cp, now, schedule=schedule)
+        if seen_filter is None or fr is None:
+            merged = updatedb(spark, fr, batch_df, cp, now,
+                              schedule=schedule)
+            seen_next = None
+        else:
+            from .operators.updatedb import updatedb_seen_split
+
+            if not store.exists("seen"):
+                store.write(seen_filter.build(fr), "seen")
+            merged, seen_next = updatedb_seen_split(
+                spark, fr, batch_df, cp, now,
+                seen_filter, store.read(spark, "seen"),
+                schedule=schedule,
+            )
         store.write(merged, "frontier")
+        if seen_next is not None:
+            store.write(seen_next, "seen")
         store.mark_stage(f"stream{batch_id:08d}", "updatedb", rows=None)
 
     reader = spark.readStream.schema(FETCH_RESULTS)

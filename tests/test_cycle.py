@@ -511,3 +511,54 @@ def test_empty_partitioned_frontier_readable(spark, tmp_path):
     fr = store.read(spark, "frontier")
     assert fr.count() == 0
     assert "url" in fr.columns and "host_bucket" not in fr.columns
+
+
+def test_streaming_frontier_ingestion_with_seen_filter(spark, tmp_path):
+    """The streaming merge with the URL-seen filter produces the same
+    frontier as the plain batch chain — the split is semantics-free in
+    streaming exactly as in the batch loop — and maintains the seen
+    table across micro-batches (built from the frontier on first use,
+    add()ed per batch)."""
+    from nutch_spark.operators.fetch import fetch
+    from nutch_spark.operators.parse import parse
+    from nutch_spark.operators.seen import SeenFilter
+    from nutch_spark.streaming import stream_updatedb
+
+    web = WebConfig(n_hosts=4, pages_per_host=5, zipf=False)
+    robots = {r["host"]: r for r in robots_rows(web)}
+    fr0 = inject(spark, None, seeds_df(spark, web), T0).localCheckpoint()
+
+    fl1 = generate(fr0, T0 + 1, "s1", top_n=100)
+    res1 = fetch(fl1, robots, web, T0 + 1).localCheckpoint()
+    now1 = res1.agg(F.max("fetch_time")).collect()[0][0]
+    fr1 = updatedb(spark, fr0, res1, parse(res1)[1].localCheckpoint(),
+                   now1).localCheckpoint()
+    fl2 = generate(fr1, T0 + 2, "s2", top_n=100)
+    res2 = fetch(fl2, robots, web, T0 + 2).localCheckpoint()
+    now2 = res2.agg(F.max("fetch_time")).collect()[0][0]
+    expected = updatedb(spark, fr1, res2, parse(res2)[1].localCheckpoint(),
+                        now2).localCheckpoint()
+
+    store = SnapshotStore(str(tmp_path / "w"))
+    store.write(fr0, "frontier")
+    incoming = str(tmp_path / "incoming")
+    filt = SeenFilter(n_buckets=4, expected_keys_per_bucket=5000)
+    res1.coalesce(1).write.mode("append").parquet(incoming)
+    stream_updatedb(spark, store, incoming, str(tmp_path / "ckpt"),
+                    max_files_per_trigger=1,
+                    seen_filter=filt).awaitTermination(120)
+    res2.coalesce(1).write.mode("append").parquet(incoming)
+    stream_updatedb(spark, store, incoming, str(tmp_path / "ckpt"),
+                    max_files_per_trigger=1,
+                    seen_filter=filt).awaitTermination(120)
+
+    got = store.read(spark, "frontier")
+    flat = lambda df: df.select(
+        "url", "status", "fetch_time", "retries", "fetch_interval",
+        F.round(F.col("score").cast("double"), 4).alias("score"), "signature",
+    )
+    assert flat(got).exceptAll(flat(expected)).count() == 0
+    assert flat(expected).exceptAll(flat(got)).count() == 0
+    # the filter kept pace with the frontier across batches
+    n_keys = store.read(spark, "seen").agg(F.sum("n_keys")).collect()[0][0]
+    assert n_keys == got.count()
