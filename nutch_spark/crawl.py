@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from dataclasses import dataclass
 
@@ -136,19 +137,44 @@ class Crawler:
                 n_shards=32, m_indexes=1 << 14)))
         raise ValueError(f"unknown seen_filter {kind!r}")
 
+    def _seen_geometry_file(self) -> str:
+        return os.path.join(self.store.root, "seen", "GEOMETRY.json")
+
+    def _stored_seen_geometry(self) -> dict | None:
+        try:
+            with open(self._seen_geometry_file()) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _write_seen(self, seen: DataFrame) -> None:
+        """Commit a (re)built seen table plus its geometry sidecar —
+        the table is only probe-compatible with a filter of identical
+        geometry (seen.py geometry()); incremental add()/delete()
+        writes keep the geometry, so only builds pass through here."""
+        self.store.write(seen, "seen")
+        path = self._seen_geometry_file()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self._seen.geometry(), f)
+
     def _ensure_seen(self) -> DataFrame:
         """Read the seen table, (re)building it from the current
-        frontier if absent — covers resume from a pre-filter warehouse
-        and the rebuild-on-config-change path. The invariant the
-        routing correctness rests on: the filter answers maybe_seen =
-        True for EVERY url in the frontier (over-approximation is
-        always safe — a false positive just takes the big join's
-        lone-link branch; an under-approximation would double-create
-        rows, so keys are only ever added, never dropped, except for
-        cuckoo deletes of purged-and-not-recreated URLs)."""
-        if not self.store.exists("seen"):
-            fr = self._frontier()
-            self.store.write(self._seen.build(fr), "seen")
+        frontier if absent — covering resume from a pre-filter
+        warehouse — or if the stored geometry sidecar doesn't match
+        this filter's (resume with changed seen_filter/seen_params):
+        probing a mismatched table misreads bucket ids / bit positions
+        as unseen, which is the one failure mode the split can't
+        tolerate. The invariant the routing correctness rests on: the
+        filter answers maybe_seen = True for EVERY url in the frontier
+        (over-approximation is always safe — a false positive just
+        takes the big join's lone-link branch; an under-approximation
+        would double-create rows, so keys are only ever added, never
+        dropped, except for cuckoo deletes of purged-and-not-recreated
+        URLs)."""
+        if (not self.store.exists("seen")
+                or self._stored_seen_geometry() != self._seen.geometry()):
+            self._write_seen(self._seen.build(self._frontier()))
         return self.store.read(self.spark, "seen")
 
     # -- helpers --
@@ -212,9 +238,8 @@ class Crawler:
             # build the URL-seen structure over the injected frontier —
             # one shuffle on bucket/shard, each partition builds its
             # slice independently (seen.py build)
-            self.store.write(
-                self._seen.build(self.store.read(self.spark, "frontier")),
-                "seen",
+            self._write_seen(
+                self._seen.build(self.store.read(self.spark, "frontier"))
             )
         self._write_metrics(self.store.read(self.spark, "frontier"), "inject", "inject")
         self.store.mark_stage("inject", "inject")
@@ -338,11 +363,18 @@ class Crawler:
         from .operators.updatedb import updatedb_seen_split
 
         seen_tbl = self._ensure_seen()
+        # the delete path is only membership-safe if every created row
+        # owns an inserted fingerprint copy — including false-positive
+        # creations (see updatedb_seen_split's insert_created contract)
+        deletes_on = self.cfg.purge_404 and isinstance(
+            self._seen, CuckooSeenFilter
+        )
         fr2, seen_next = updatedb_seen_split(
             self.spark, fr, res, crawl_parse, now,
-            self._seen, seen_tbl, audit=self.cfg.seen_audit, **upd_kw,
+            self._seen, seen_tbl, audit=self.cfg.seen_audit,
+            insert_created=deletes_on, **upd_kw,
         )
-        if self.cfg.purge_404 and isinstance(self._seen, CuckooSeenFilter):
+        if deletes_on:
             # purged keys leave the filter UNLESS this cycle's parse
             # stream recreates them (updatedb filters the old row out
             # before the join, so a purged URL with an inbound link

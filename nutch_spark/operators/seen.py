@@ -96,6 +96,16 @@ class SeenFilter:
     def bucket_col(self, url_hash):
         return F.pmod(url_hash, F.lit(self.n_buckets)).cast("int")
 
+    def geometry(self) -> dict:
+        """Probe-compatibility fingerprint. A stored seen table is only
+        meaningful to a filter with the SAME geometry — probing a
+        table built under a different bucketing/bit-space silently
+        reads absent buckets / wrong bit positions as unseen (false
+        negatives → double-created rows). Persist alongside the table
+        and rebuild on mismatch (Crawler._ensure_seen does)."""
+        return {"kind": "bloom", "n_buckets": self.n_buckets,
+                "m_bits": self.m_bits, "k": self.k}
+
     # -- build --
     def build(self, frontier: DataFrame) -> DataFrame:
         """frontier(url_hash, …) → seen table (bucket, bitset, n_keys).
@@ -371,6 +381,11 @@ class CuckooSeenFilter:
 
     def shard_col(self, url_hash):
         return F.pmod(url_hash, F.lit(self.n_shards)).cast("int")
+
+    def geometry(self) -> dict:
+        """Probe-compatibility fingerprint — see SeenFilter.geometry."""
+        return {"kind": "cuckoo", "n_shards": self.n_shards,
+                "m_indexes": self.m, "slots": self.slots}
 
     # -- core NumPy kernels (per shard) --
     def _place(self, h_sorted: np.ndarray, table: np.ndarray,

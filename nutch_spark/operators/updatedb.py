@@ -571,6 +571,7 @@ def updatedb_seen_split(
     seen_filter,
     seen_table: DataFrame,
     audit: bool = False,
+    insert_created: bool = False,
     **updatedb_kwargs,
 ) -> tuple[DataFrame, DataFrame]:
     """UpdateDb with the URL-seen filter pruning the frontier join —
@@ -595,7 +596,26 @@ def updatedb_seen_split(
 
     Returns (merged frontier, next seen table): the filter learns the
     definitely-new keys; false-positive creations are already reported
-    seen — that is what a false positive is.
+    seen — that is what a false positive is — so by default they are
+    NOT re-inserted (for the bloom their bits already read set; for the
+    cuckoo a second copy only costs a slot).
+
+    `insert_created=True` additionally add()s the keys of rows the big
+    join CREATED (probed maybe_seen but absent from the frontier — the
+    false positives of this cycle). Required whenever delete() will
+    run against the filter (crawl purge_404 + cuckoo): a cuckoo delete
+    is only membership-safe for keys that were actually inserted
+    (paper §3.2) — deleting a never-inserted false positive would
+    consume ANOTHER key's only stored fingerprint copy, and that key
+    (still in the frontier) would then probe definitely-new and be
+    double-created by a later cycle. With every created row owning one
+    inserted copy, each purge removes a copy its own row accounted
+    for, and surviving frontier rows always retain ≥ 1 matching copy.
+    Cost: one broadcast-semi-join SCAN of the frontier's url_hash
+    column (the cycle's seen-probing keys broadcast; no shuffle),
+    paid only when the flag is on. Relies on the engine invariant
+    frontier.url_hash = xxhash64(url) (inject.py:92, updatedb
+    url_hash coalesce above).
     """
     cp = crawl_parse.withColumn("__uh", url_hash_col(F.col("url")))
     keys = cp.select(F.col("__uh").alias("url_hash")).distinct()
@@ -628,4 +648,11 @@ def updatedb_seen_split(
                  **updatedb_kwargs)
     )
     delta = marked_keys.filter(~F.col("maybe_seen")).select("url_hash")
+    if insert_created and frontier is not None:
+        seen_keys = marked_keys.filter(F.col("maybe_seen")).select("url_hash")
+        present = frontier.select("url_hash").join(
+            F.broadcast(seen_keys), "url_hash", "left_semi"
+        )
+        created = seen_keys.join(present, "url_hash", "left_anti")
+        delta = delta.unionByName(created)
     return fr2, seen_filter.add(seen_table, delta)

@@ -467,6 +467,89 @@ def test_cuckoo_purge_delete_in_loop(spark, tmp_path):
         assert m2.filter(~F.col("maybe_seen")).count() == 0
 
 
+def test_cuckoo_delete_safe_for_false_positive_created_rows(spark):
+    """A row the big join CREATES as a false positive (probes seen off
+    ANOTHER key's stored fingerprint) was never itself inserted —
+    deleting it on purge would consume the other key's only copy and
+    make a live frontier URL probe definitely-new (double-create on a
+    later cycle). updatedb_seen_split(insert_created=True) — what the
+    crawl loop passes whenever the delete path is on — closes this by
+    add()ing created keys, so every frontier row owns one stored copy.
+    The control leg locks in WHY the flag exists: without it, the same
+    delete strips the resident's copy."""
+    import numpy as np
+
+    from nutch_spark.constants import Defaults, STATUS_DB_FETCHED, STATUS_LINKED
+    from nutch_spark.functions.urls import url_hash_col
+    from nutch_spark.operators.seen import CuckooSeenFilter, _cuckoo_parts
+    from nutch_spark.operators.updatedb import updatedb_seen_split
+    from nutch_spark.schema import CRAWL_PARSE, FRONTIER
+
+    m = 2  # tiny index space so an (i1, fp) collision is findable
+    filt = CuckooSeenFilter(n_shards=1, m_indexes=m)
+
+    # deterministically find resident A and impostor B with identical
+    # (i1, fp): B probes seen purely off A's slot
+    urls = [f"http://h{i}.example.com/p" for i in range(4000)]
+    pdf = (
+        spark.createDataFrame([(u,) for u in urls], "url string")
+        .select("url", url_hash_col(F.col("url")).alias("h"))
+        .toPandas()
+    )
+    h = pdf["h"].to_numpy(np.int64)
+    fp, i1, _i2 = _cuckoo_parts(h, m)
+    comp = i1 * np.int64(1 << 16) + fp
+    order = np.argsort(comp, kind="stable")
+    dup = np.flatnonzero(comp[order][1:] == comp[order][:-1])
+    assert len(dup), "no (i1, fp) collision in the search set"
+    ia, ib = int(order[dup[0]]), int(order[dup[0] + 1])
+    u_a, h_a = pdf["url"].iloc[ia], int(h[ia])
+    u_b, h_b = pdf["url"].iloc[ib], int(h[ib])
+    assert h_a != h_b
+
+    frontier = spark.createDataFrame(
+        [
+            dict(
+                url=u_a, url_hash=h_a, host="h.example.com",
+                status=STATUS_DB_FETCHED, fetch_time=T0 - 1000, retries=0,
+                fetch_interval=Defaults.FETCH_INTERVAL, score=1.0,
+                signature=None, modified_time=0, metadata={},
+            )
+        ],
+        FRONTIER,
+    )
+    cp = spark.createDataFrame(
+        [
+            dict(
+                url=u_b, status=STATUS_LINKED, score=0.5,
+                fetch_interval=Defaults.FETCH_INTERVAL, signature=None,
+                anchor="a", from_url=u_a, metadata=None, fetch_time=None,
+            )
+        ],
+        CRAWL_PARSE,
+    )
+    seen0 = filt.build(frontier).localCheckpoint(eager=True)
+
+    def probe(hash_val, seen):
+        df = spark.createDataFrame([(hash_val,)], "url_hash long")
+        return bool(seen is not None
+                    and filt.mark_seen(df, seen).collect()[0]["maybe_seen"])
+
+    assert probe(h_b, seen0), "B must be a false positive of A's slot"
+
+    for insert_created, a_survives in [(True, True), (False, False)]:
+        fr2, seen1 = updatedb_seen_split(
+            spark, frontier, None, cp, T0, filt, seen0,
+            insert_created=insert_created,
+        )
+        # B is created either way — routing is semantics-neutral
+        assert {r.url for r in fr2.select("url").collect()} == {u_a, u_b}
+        seen1 = seen1.localCheckpoint(eager=True)
+        gone_b = spark.createDataFrame([(h_b,)], "url_hash long")
+        seen2 = filt.delete(seen1, gone_b).localCheckpoint(eager=True)
+        assert probe(h_a, seen2) == a_survives
+
+
 def test_host_bucket_dropped_centrally(spark, tmp_path):
     """ADVICE r4: with frontier_host_buckets on, EVERY store.read of
     the frontier strips the synthetic host_bucket column — consumers
