@@ -24,6 +24,8 @@ module only wires operators to the gate.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -426,8 +428,13 @@ LIMIT 500
 def q_generate_multiseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-segment spill: per-host overflow beyond maxCount lands in
     segments 2..maxNumSegments (Generator.java:296-340 keep counts:
-    segment 1 gets maxCount−1, later segments maxCount each)."""
-    from .operators.generate import generate
+    segment 1 gets maxCount−1, later segments maxCount each).
+
+    Tag-union second leg: FreeGenerator (tools/FreeGenerator.java) over
+    a duplicate-bearing URL list derived from lineitem part keys — no
+    CrawlDb involved: dedup by URL, injected score, the standard
+    fetchlist layout. The leg's rows carry segment='free'."""
+    from .operators.generate import free_generate, generate
 
     out = generate(
         frontier_df(spark, sf_dir),
@@ -438,11 +445,21 @@ def q_generate_multiseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_mode="host",
         max_num_segments=3,
     )
-    return out.select(
+    multiseg = out.select(
         "url",
         F.col("score").cast("double").alias("score"),
         "segment",
     )
+    _views(spark, sf_dir, ["lineitem"])
+    free_urls = spark.sql(
+        f"SELECT {_url('l_partkey')} AS url FROM lineitem"
+    )
+    free = free_generate(free_urls, "free", CUR_MS).select(
+        "url",
+        F.col("score").cast("double").alias("score"),
+        "segment",
+    )
+    return multiseg.unionByName(free)
 
 
 ORACLE_GENERATE_MULTISEG = f"""
@@ -463,6 +480,10 @@ SELECT url, cast(score as double) AS score,
        case when segnum = 1 then 'seg0001'
             else concat('seg0001', '-', cast(segnum as string)) end AS segment
 FROM seg WHERE segnum <= 3
+UNION ALL
+SELECT DISTINCT {_url('l_partkey')} AS url, cast(1.0 as double) AS score,
+       'free' AS segment
+FROM lineitem
 """
 
 
@@ -733,7 +754,14 @@ def q_fetch_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     queue ordered by url_hash (HashComparator fetch order,
     Generator.java:399-429; FetchItemQueue politeness). This is the
     north rule's politeness budget as a value-hashed oracle — not just
-    a pytest assertion."""
+    a pytest assertion.
+
+    Tag-union second leg: the SAME fetchlist under the fetcher
+    timebomb (fetcher.timelimit.mins, Fetcher.java:391-396) with a
+    15 s limit — only queue slots scheduled strictly before the
+    deadline survive (3 slots per host at the default 5 s delay);
+    this and every later slot of a queue are dropped with no output
+    row, so the leg's row set oracles the timebomb cut exactly."""
     from .operators.fetch import fetch
     from .synth import WebConfig
 
@@ -741,13 +769,31 @@ def q_fetch_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     fl = spark.sql(FRONTIER_SQL).withColumn(
         "metadata", F.lit(None).cast("map<string,string>")
     ).withColumn("segment", F.lit("seg"))
+    web = WebConfig(n_hosts=97, pages_per_host=5)
     res = fetch(
         fl,
         robots={},  # no rules ⇒ no blocks, default 5 s delay
-        web=WebConfig(n_hosts=97, pages_per_host=5),
+        web=web,
         cur_time_ms=CUR_MS,
     )
-    return res.select("url", F.col("fetch_time").cast("long").alias("fetch_time"))
+    full = res.select(
+        F.lit("full").alias("leg"),
+        "url",
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+    )
+    res_tb = fetch(
+        fl,
+        robots={},
+        web=web,
+        cur_time_ms=CUR_MS,
+        time_limit_ms=15_000,  # relative: deadline = cur_time + 15 s
+    )
+    tb = res_tb.select(
+        F.lit("timebomb").alias("leg"),
+        "url",
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+    )
+    return full.unionByName(tb)
 
 
 ORACLE_FETCH_POLITENESS = f"""
@@ -760,8 +806,14 @@ ranked AS (
   SELECT url,
          row_number() OVER (PARTITION BY host ORDER BY url_hash) AS r
   FROM fl)
-SELECT url, cast({CUR_MS} + (r - 1) * 5000 as bigint) AS fetch_time
+SELECT 'full' AS leg, url,
+       cast({CUR_MS} + (r - 1) * 5000 as bigint) AS fetch_time
 FROM ranked
+UNION ALL
+SELECT 'timebomb' AS leg, url,
+       cast({CUR_MS} + (r - 1) * 5000 as bigint) AS fetch_time
+FROM ranked
+WHERE (r - 1) * 5000 < 15000
 """
 
 
@@ -1562,16 +1614,83 @@ FROM orders
 """
 
 
+# outlink-pipeline pages: one text span, hrefs in document order —
+#   1. A  = url(k+291): same host (291 = 3·97, so k+291 ≡ k mod 97 and
+#      mod 3) — kept, order 1;
+#   1b (k%10=0 only). 'HTTP' + A[4:]: uppercase-scheme variant — NOT
+#      canonical, forces the page down the slow explode path, where it
+#      normalizes back to A and the per-page dedup drops it (normalize-
+#      BEFORE-dedup, ParseOutputFormat.java:321-396) — output identical
+#      to the fast path, which is exactly the invariant under test;
+#   2. A again: duplicate — first occurrence wins, dropped;
+#   3. url(k+1): external host — dropped by ignore-external byHost;
+#   4. E = url(k+2) + '-exempt': external BUT matches the exemption
+#      rules — kept via URLExemptionFilters bypass, order 2;
+#   5. url(k+582): internal — kept, order 3;
+#   6. url(k+873): internal but over the max_outlinks=3 cap — dropped;
+#   7. url(k): self-link — dropped.
+_PL_A = _url("(o_orderkey + 291)")
+PARSE_LINKS_SQL = f"""
+SELECT
+  {_url('o_orderkey')} AS url,
+  cast(o_orderkey * 2654435761 as bigint) AS url_hash,
+  {_host('o_orderkey')} AS host,
+  cast(33 as int) AS status,
+  cast({CUR_MS} as bigint) AS fetch_time,
+  cast(0 as int) AS retries,
+  cast(2592000 as int) AS fetch_interval,
+  cast(0.25 as double) AS score,
+  cast(null as string) AS redirect_to,
+  cast(null as map<string,string>) AS metadata,
+  array(named_struct('kind', 'text', 'text',
+    concat('page ', cast(o_orderkey as string),
+           ' href:', {_PL_A},
+           case when o_orderkey % 10 = 0
+                then concat(' href:HTTP', substring({_PL_A}, 5))
+                else '' end,
+           ' href:', {_PL_A},
+           ' href:', {_url('(o_orderkey + 1)')},
+           ' href:', {_url('(o_orderkey + 2)')}, '-exempt',
+           ' href:', {_url('(o_orderkey + 582)')},
+           ' href:', {_url('(o_orderkey + 873)')},
+           ' href:', {_url('o_orderkey')}),
+    'media_ref', cast(null as string), 'offset', 0)) AS spans
+FROM orders
+"""
+
+
 def q_parse_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the REAL parse operator over pages with subdoc spans and
     emit the fork's canonical-key datums (fetch_success rows in
-    crawl_parse) joined with each sub-entry's signature datum."""
+    crawl_parse) joined with each sub-entry's signature datum.
+
+    Three more operator rows ride this gate by tag-union:
+      * truncation check (ParseSegment.isTruncated + parser.skip.
+        truncated): pages whose Content-Length header overclaims
+        (k%5=0) are skipped, so their sub-entries vanish from the
+        'canon' leg;
+      * outlink pipeline (leg='link'): per-page normalize → filter →
+        self-drop → ignore-external(byHost) → exemption bypass →
+        first-occurrence dedup → max_outlinks cap, with k%10=0 pages
+        forced down the slow explode path by a non-canonical href (see
+        PARSE_LINKS_SQL) — fast and slow paths must produce identical
+        ordered outlinks."""
     from .constants import STATUS_FETCH_SUCCESS, STATUS_SIGNATURE
+    from .functions.urlplugins import ExemptionRules
     from .operators.parse import parse
 
     _views(spark, sf_dir, ["orders"])
-    fr = spark.sql(PARSE_FETCH_SQL).withColumn("segment", F.lit("seg"))
-    _pd, cp = parse(fr)
+    fr = spark.sql(
+        f"""
+        SELECT b.*,
+               case when cast(regexp_extract(b.url, '/p/([0-9]+)$', 1)
+                         as bigint) % 5 = 0
+                    then map('Content-Length', '9999999')
+                    else cast(null as map<string,string>) end AS metadata
+        FROM ({PARSE_FETCH_SQL}) b
+        """
+    ).withColumn("segment", F.lit("seg"))
+    _pd, cp = parse(fr, skip_truncated=True)
     fs = cp.filter(F.col("status") == STATUS_FETCH_SUCCESS).select(
         "url",
         F.col("fetch_time").cast("long").alias("fetch_time"),
@@ -1580,11 +1699,36 @@ def q_parse_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     sg = cp.filter(F.col("status") == STATUS_SIGNATURE).select(
         "url", "signature"
     )
-    return fs.join(sg, "url")
+    canon = fs.join(sg, "url").select(
+        F.lit("canon").alias("leg"),
+        "url",
+        F.col("fetch_time").alias("v1"),
+        F.col("fetch_interval").alias("v2"),
+        F.col("signature").alias("s1"),
+    )
+
+    lf = spark.sql(PARSE_LINKS_SQL).withColumn("segment", F.lit("seg"))
+    lpd = parse(
+        lf,
+        max_outlinks=3,
+        ignore_external=True,
+        external_mode="byHost",
+        exemptions=ExemptionRules([r"-exempt$"]),
+    )[0]
+    links = lpd.select("url", F.explode("outlinks").alias("o")).select(
+        F.lit("link").alias("leg"),
+        "url",
+        F.col("o.link_order").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.col("o.to_url").alias("s1"),
+    )
+    return canon.unionByName(links)
 
 
 ORACLE_PARSE_CANONICAL = f"""
-WITH base AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 4 = 0),
+WITH base AS (
+  SELECT o_orderkey AS k FROM orders
+  WHERE o_orderkey % 4 = 0 AND o_orderkey % 5 <> 0),
 subs AS (
   SELECT concat({_url('k')}, '!/sub1') AS url,
          md5(concat('item one of ', cast(k as string))) AS signature
@@ -1593,9 +1737,22 @@ subs AS (
   SELECT concat({_url('k')}, '!/sub2') AS url,
          md5(concat('item two of ', cast(k as string))) AS signature
   FROM base)
-SELECT url, cast({CUR_MS} as bigint) AS fetch_time,
-       cast(0 as bigint) AS fetch_interval, signature
+SELECT 'canon' AS leg, url, cast({CUR_MS} as bigint) AS v1,
+       cast(0 as bigint) AS v2, signature AS s1
 FROM subs
+UNION ALL
+SELECT 'link' AS leg, {_url('o_orderkey')} AS url, cast(1 as bigint) AS v1,
+       cast(NULL as bigint) AS v2, {_url('(o_orderkey + 291)')} AS s1
+FROM orders
+UNION ALL
+SELECT 'link' AS leg, {_url('o_orderkey')} AS url, cast(2 as bigint) AS v1,
+       cast(NULL as bigint) AS v2,
+       concat({_url('(o_orderkey + 2)')}, '-exempt') AS s1
+FROM orders
+UNION ALL
+SELECT 'link' AS leg, {_url('o_orderkey')} AS url, cast(3 as bigint) AS v1,
+       cast(NULL as bigint) AS v2, {_url('(o_orderkey + 582)')} AS s1
+FROM orders
 """
 
 
@@ -2212,13 +2369,25 @@ def q_index_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_gone=True,
         delete_robots_noindex=True,
     )
-    return out.select(
+    acts = out.select(
         "url",
         F.col("action").cast("int").alias("action"),
         "title",
         F.col("boost").cast("double").alias("boost"),
         "segment",
     )
+    # IndexWriter exchange roundtrip (IndexWriters.java open→write→
+    # commit→close): the action stream goes through the coordinator and
+    # the ParquetIndexWriter sink, and the gate hashes what was read
+    # BACK from the sink — so the pluggable-writer path itself is under
+    # the value-hash oracle, not just the in-plan DataFrame.
+    import tempfile
+
+    from .operators.indexwriters import ParquetIndexWriter, write_index
+
+    sink = os.path.join(tempfile.mkdtemp(prefix="gate_idxw_"), "out")
+    write_index(acts, [ParquetIndexWriter(sink)])
+    return spark.read.parquet(sink)
 
 
 ORACLE_INDEX_ACTIONS = f"""

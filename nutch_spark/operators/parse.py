@@ -132,6 +132,7 @@ def parse(
     normalizers=None,  # functions.urlplugins.ScopedNormalizers | None
     url_filters=None,  # functions.urlplugins.FilterChain | None
     parse_filters=None,  # operators.parsefilters.ParseFilterChain | None
+    skip_truncated: bool = False,  # parser.skip.truncated
 ) -> tuple[DataFrame, DataFrame]:
     """fetch_results → (parse_data, crawl_parse).
 
@@ -142,6 +143,7 @@ def parse(
     pd_ = parse_pages(
         fetch_results, max_outlinks, ignore_external, external_mode,
         exemptions, normalizers, url_filters, parse_filters,
+        skip_truncated,
     )
     cp = crawl_parse_from(
         pd_, fetch_results, score_internal, score_external, hooks,
@@ -159,6 +161,7 @@ def parse_pages(
     normalizers=None,
     url_filters=None,
     parse_filters=None,
+    skip_truncated: bool = False,
 ) -> DataFrame:
     """extraction + outlink pipeline → parse_data, in one lineage.
 
@@ -170,7 +173,8 @@ def parse_pages(
     lambda-bearing exprs, and predicate pushdown inlines them into
     filters), so cutting the lineage there is worth one extra write."""
     return finish_pages(
-        extract_pages(fetch_results), max_outlinks, ignore_external,
+        extract_pages(fetch_results, skip_truncated=skip_truncated),
+        max_outlinks, ignore_external,
         external_mode, exemptions, normalizers, url_filters, parse_filters,
     )
 
