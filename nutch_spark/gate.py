@@ -761,7 +761,15 @@ def q_fetch_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     15 s limit — only queue slots scheduled strictly before the
     deadline survive (3 slots per host at the default 5 s delay);
     this and every later slot of a queue are dropped with no output
-    row, so the leg's row set oracles the timebomb cut exactly."""
+    row, so the leg's row set oracles the timebomb cut exactly.
+
+    Tag-union third leg ('demux'): fetch status demux over IN-WEB URLs
+    of a gone_frac=0.2 synthetic web with no redirects — the fetcher's
+    success/notfound split (FetcherThread.java output status mapping).
+    The oracle replays the web's outcome draw exactly: r = first 8
+    bytes of md5('outcome|<url>|<seed>') as a big-endian uint64, taken
+    mod 10000 via a hex-digit Horner fold, gone iff page > 0 and
+    r < 2000, plus the past-end page rule (page_idx ≥ pages_per_host)."""
     from .operators.fetch import fetch
     from .synth import WebConfig
 
@@ -776,11 +784,16 @@ def q_fetch_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         web=web,
         cur_time_ms=CUR_MS,
     )
-    full = res.select(
-        F.lit("full").alias("leg"),
-        "url",
-        F.col("fetch_time").cast("long").alias("fetch_time"),
-    )
+
+    def _slot_leg(df: DataFrame, leg: str) -> DataFrame:
+        return df.select(
+            F.lit(leg).alias("leg"),
+            "url",
+            F.col("fetch_time").cast("long").alias("fetch_time"),
+            F.lit(None).cast("long").alias("fstatus"),
+            F.lit(None).cast("string").alias("proto"),
+        )
+
     res_tb = fetch(
         fl,
         robots={},
@@ -788,12 +801,62 @@ def q_fetch_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur_time_ms=CUR_MS,
         time_limit_ms=15_000,  # relative: deadline = cur_time + 15 s
     )
-    tb = res_tb.select(
-        F.lit("timebomb").alias("leg"),
-        "url",
-        F.col("fetch_time").cast("long").alias("fetch_time"),
+
+    demux_web = WebConfig(
+        n_hosts=50, pages_per_host=5, zipf=False,
+        gone_frac=0.2, redir_frac=0.0,
     )
-    return full.unionByName(tb)
+    dfl = spark.sql(DEMUX_FETCH_SQL).withColumn(
+        "metadata", F.lit(None).cast("map<string,string>")
+    ).withColumn("segment", F.lit("seg"))
+    res_dm = fetch(dfl, robots={}, web=demux_web, cur_time_ms=CUR_MS)
+    # fetch_time is NULL on this leg: duplicate URLs share a url_hash,
+    # so their relative queue order (and slot) is not deterministic
+    dm = res_dm.select(
+        F.lit("demux").alias("leg"),
+        "url",
+        F.lit(None).cast("long").alias("fetch_time"),
+        F.col("status").cast("long").alias("fstatus"),
+        F.col("protocol_status").alias("proto"),
+    )
+    return _slot_leg(res, "full").unionByName(
+        _slot_leg(res_tb, "timebomb")
+    ).unionByName(dm)
+
+
+# in-web URLs for the demux leg: host = k%50, page = k%8 (pages 5-7 are
+# past the 5-page host ⇒ unconditionally gone)
+_DM_URL = (
+    "concat('http://host', cast(o_orderkey % 50 as string), '.example', "
+    "cast(o_orderkey % 50 % 3 as string), '.com/p/', "
+    "lpad(cast(o_orderkey % 8 as string), 5, '0'))"
+)
+DEMUX_FETCH_SQL = f"""
+SELECT
+  {_DM_URL} AS url,
+  cast(o_orderkey * 2654435761 as bigint) AS url_hash,
+  concat('host', cast(o_orderkey % 50 as string), '.example',
+         cast(o_orderkey % 50 % 3 as string), '.com') AS host,
+  cast(1 as int) AS status,
+  cast({CUR_MS} as bigint) AS fetch_time,
+  cast(0 as int) AS retries,
+  cast(2592000 as int) AS fetch_interval,
+  cast(0.0 as double) AS score,
+  cast(null as string) AS signature,
+  cast(0 as bigint) AS modified_time
+FROM orders
+"""
+
+
+def _md5_mod_horner(md5_col: str, mod: int) -> str:
+    """DuckDB expr: first 16 hex chars of `md5_col` (= the digest's
+    first 8 bytes, big-endian) reduced mod `mod` by a Horner fold —
+    replays synth._h(...) % mod without 64-bit integer parsing."""
+    acc = "0"
+    for j in range(1, 17):
+        d = f"(strpos('0123456789abcdef', substr({md5_col}, {j}, 1)) - 1)"
+        acc = f"(({acc} * 16 + {d}) % {mod})"
+    return acc
 
 
 ORACLE_FETCH_POLITENESS = f"""
@@ -805,15 +868,34 @@ WITH fl AS (
 ranked AS (
   SELECT url,
          row_number() OVER (PARTITION BY host ORDER BY url_hash) AS r
-  FROM fl)
+  FROM fl),
+dm_base AS (
+  SELECT {_DM_URL} AS url, o_orderkey % 8 AS i
+  FROM orders),
+dm_r AS (
+  SELECT url, i, md5(concat('outcome|', url, '|42')) AS md5h
+  FROM dm_base),
+dm AS (
+  SELECT url,
+         case when i >= 5 then 37
+              when i > 0 and {_md5_mod_horner('md5h', 10_000)} < 2000
+              then 37 else 33 end AS fstatus
+  FROM dm_r)
 SELECT 'full' AS leg, url,
-       cast({CUR_MS} + (r - 1) * 5000 as bigint) AS fetch_time
+       cast({CUR_MS} + (r - 1) * 5000 as bigint) AS fetch_time,
+       cast(NULL as bigint) AS fstatus, cast(NULL as varchar) AS proto
 FROM ranked
 UNION ALL
 SELECT 'timebomb' AS leg, url,
-       cast({CUR_MS} + (r - 1) * 5000 as bigint) AS fetch_time
+       cast({CUR_MS} + (r - 1) * 5000 as bigint) AS fetch_time,
+       cast(NULL as bigint) AS fstatus, cast(NULL as varchar) AS proto
 FROM ranked
 WHERE (r - 1) * 5000 < 15000
+UNION ALL
+SELECT 'demux' AS leg, url, cast(NULL as bigint) AS fetch_time,
+       cast(fstatus as bigint) AS fstatus,
+       case when fstatus = 37 then 'notfound' else 'success' end AS proto
+FROM dm
 """
 
 
