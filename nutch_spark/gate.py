@@ -262,10 +262,25 @@ LIMIT 100
 
 
 def q_readdb_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.readdb import dump
+    """CrawlDbReader -dump with stacked row predicates — run over a
+    frontier ROUND-TRIPPED through the SnapshotStore: snapshot 0 is
+    the real frontier, snapshot 1 a corrupted variant (score+1), then
+    rollback(0) — so the store's atomic pointer commit, time-travel
+    retention, and rollback (CrawlDb.install/LockUtil semantics) sit
+    under the value-hash oracle: a wrong CURRENT pointer or a read of
+    the corrupted snapshot shifts every score by 1 and hash-fails."""
+    import tempfile
 
+    from .operators.readdb import dump
+    from .store import SnapshotStore
+
+    fr = frontier_df(spark, sf_dir)
+    store = SnapshotStore(tempfile.mkdtemp(prefix="gate_snap_"))
+    store.write(fr, "frontier")
+    store.write(fr.withColumn("score", F.col("score") + 1), "frontier")
+    store.rollback("frontier", 0)
     out = dump(
-        frontier_df(spark, sf_dir),
+        store.read(spark, "frontier"),
         status=1,
         min_retries=2,
         url_regex="/p/1",
@@ -769,7 +784,20 @@ def q_fetch_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the web's outcome draw exactly: r = first 8
     bytes of md5('outcome|<url>|<seed>') as a big-endian uint64, taken
     mod 10000 via a hex-digit Horner fold, gone iff page > 0 and
-    r < 2000, plus the past-end page rule (page_idx ≥ pages_per_host)."""
+    r < 2000, plus the past-end page rule (page_idx ≥ pages_per_host).
+
+    Tag-union fourth leg ('robots'): the robots.txt GRAMMAR + gating
+    (functions/robots.py parse_robots_txt + robots_allows;
+    RobotRulesParser/HttpRobotRulesParser semantics) under the same
+    slot oracle. Host p keyed by p%10: 0 → Disallow /p/ (all denied),
+    1 → named 'nutch' group Crawl-delay 2 beating the '*' group's 7
+    (2 s slot spacing), 2 → Crawl-delay 400 > max_crawl_delay (host
+    blocked), 3 → longest-match: Disallow /p/ + Allow /p/1 (only pages
+    whose index starts with '1' fetch, and ONLY those consume slots),
+    4 → comment + UPPERCASE directives + substring agent match
+    ('nutch' ⊂ 'nutchbot') with an irrelevant Disallow (all fetch at
+    the default delay). Denied/blocked rows keep fetch_time = now and
+    never consume a queue slot."""
     from .operators.fetch import fetch
     from .synth import WebConfig
 
@@ -819,9 +847,40 @@ def q_fetch_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("status").cast("long").alias("fstatus"),
         F.col("protocol_status").alias("proto"),
     )
+
+    from .functions.robots import parse_robots_txt
+
+    robots_txts = {
+        0: "User-agent: *\nDisallow: /p/",
+        1: "User-agent: nutch\nCrawl-delay: 2\nUser-agent: *\nCrawl-delay: 7",
+        2: "User-agent: *\nCrawl-delay: 400",
+        3: "User-agent: *\nDisallow: /p/\nAllow: /p/1",
+        4: "# robots\nUSER-AGENT: NutchBot\nDISALLOW: /x",
+    }
+    # host index (k%97) and example index (k%3) vary semi-independently
+    # → 97×3 distinct hosts; the rule set is keyed on the host INDEX
+    rb_rules = {
+        f"host{p}.example{e}.com": parse_robots_txt(robots_txts[p % 10])
+        for p in range(97)
+        for e in range(3)
+        if p % 10 in robots_txts
+    }
+    res_rb = fetch(fl, robots=rb_rules, web=web, cur_time_ms=CUR_MS)
+    denied = F.col("protocol_status").isin(
+        "robots_denied", "robots_denied_maxcrawldelay"
+    )
+    rb = res_rb.select(
+        F.lit("robots").alias("leg"),
+        "url",
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+        F.lit(None).cast("long").alias("fstatus"),
+        F.when(denied, F.col("protocol_status"))
+        .otherwise(F.lit("fetched"))
+        .alias("proto"),
+    )
     return _slot_leg(res, "full").unionByName(
         _slot_leg(res_tb, "timebomb")
-    ).unionByName(dm)
+    ).unionByName(dm).unionByName(rb)
 
 
 # in-web URLs for the demux leg: host = k%50, page = k%8 (pages 5-7 are
@@ -880,7 +939,24 @@ dm AS (
          case when i >= 5 then 37
               when i > 0 and {_md5_mod_horner('md5h', 10_000)} < 2000
               then 37 else 33 end AS fstatus
-  FROM dm_r)
+  FROM dm_r),
+rb_v AS (
+  SELECT {_url('o_orderkey')} AS url,
+         cast(o_orderkey * 2654435761 as bigint) AS url_hash,
+         {_host('o_orderkey')} AS host,
+         o_orderkey % 97 AS p,
+         case when o_orderkey % 97 % 10 = 0 then 'robots_denied'
+              when o_orderkey % 97 % 10 = 2
+              then 'robots_denied_maxcrawldelay'
+              when o_orderkey % 97 % 10 = 3
+                   and cast(o_orderkey as string) NOT LIKE '1%'
+              then 'robots_denied'
+              else 'fetched' end AS verdict
+  FROM orders),
+rb_rank AS (
+  SELECT url, p,
+         row_number() OVER (PARTITION BY host ORDER BY url_hash) AS r
+  FROM rb_v WHERE verdict = 'fetched')
 SELECT 'full' AS leg, url,
        cast({CUR_MS} + (r - 1) * 5000 as bigint) AS fetch_time,
        cast(NULL as bigint) AS fstatus, cast(NULL as varchar) AS proto
@@ -896,6 +972,17 @@ SELECT 'demux' AS leg, url, cast(NULL as bigint) AS fetch_time,
        cast(fstatus as bigint) AS fstatus,
        case when fstatus = 37 then 'notfound' else 'success' end AS proto
 FROM dm
+UNION ALL
+SELECT 'robots' AS leg, url,
+       cast({CUR_MS} + (r - 1) *
+            (case when p % 10 = 1 then 2000 else 5000 end) as bigint)
+         AS fetch_time,
+       cast(NULL as bigint) AS fstatus, 'fetched' AS proto
+FROM rb_rank
+UNION ALL
+SELECT 'robots' AS leg, url, cast({CUR_MS} as bigint) AS fetch_time,
+       cast(NULL as bigint) AS fstatus, verdict AS proto
+FROM rb_v WHERE verdict <> 'fetched'
 """
 
 
