@@ -60,14 +60,19 @@ T0 = 1_700_000_000_000
 
 
 def calibration_probe() -> dict:
-    """Time the host's page-fault path (allocate-and-touch 256 MB) and
-    a fixed single-thread CPU workload, immediately before a measured
-    phase. This VM's dominant noise source is a degraded page-fault
-    path (~10k faults/s at its worst, ~100× below normal) that drifts
-    over minutes and hits multi-JVM shapes hardest — so each scaling
-    pair records the probe for BOTH its windows, and a pair whose low
-    and high windows saw materially different host conditions is
-    excluded from the median (load-symmetry check)."""
+    """Time the host's page-fault path (allocate-and-touch 256 MB), a
+    fixed single-thread CPU workload, and a 64 MB write+fsync+read
+    disk round-trip, immediately before a measured phase. This VM's
+    dominant noise sources are a degraded page-fault path (~10k
+    faults/s at its worst, ~100× below normal) and exhaustible
+    burst-I/O credits on the backing disk (every cycle stage
+    materializes to parquet) — both drift over minutes and hit
+    multi-JVM shapes hardest — so each scaling pair records the probe
+    for BOTH its windows, and a pair whose low and high windows saw
+    materially different host conditions is excluded from the median
+    (load-symmetry check). A globally degraded window (all probes
+    slow but symmetric) is NOT excluded — the probe record exists so
+    a low reading is attributable, not correctable."""
     import hashlib
 
     t0 = time.time()
@@ -83,8 +88,25 @@ def calibration_probe() -> dict:
     for _ in range(16):
         h.update(chunk)
     cpu_sec = time.time() - t0
+    t0 = time.time()
+    fd, path = tempfile.mkstemp(prefix="bench_ioprobe_")
+    try:
+        blk = bytes(memoryview(buf)[: 64 << 20])
+        os.write(fd, blk)
+        os.fsync(fd)
+        os.lseek(fd, 0, os.SEEK_SET)
+        while os.read(fd, 8 << 20):
+            pass
+    finally:
+        os.close(fd)
+        os.unlink(path)
+    io_sec = time.time() - t0
     del buf
-    return {"fault_sec": round(fault_sec, 4), "cpu_sec": round(cpu_sec, 4)}
+    return {
+        "fault_sec": round(fault_sec, 4),
+        "cpu_sec": round(cpu_sec, 4),
+        "io_sec": round(io_sec, 4),
+    }
 
 
 class _Stop(Exception):
@@ -384,7 +406,7 @@ def _measure_pair(deadline: float) -> dict:
         lo["throughput_urls_per_sec"], 1e-9
     )
     symmetric = True
-    for metric in ("fault_sec", "cpu_sec"):
+    for metric in ("fault_sec", "cpu_sec", "io_sec"):
         vals = [
             p[metric]
             for ph in (lo, hi)
