@@ -748,11 +748,23 @@ FROM decoded WHERE media_type = 'video'
 # ---------------------------------------------------------------------
 
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .rollup import hourly_rollup
+    """Batch rollup + its Structured Streaming twin, tag-unioned: the
+    'stream' leg runs rollup_stream (readStream → event-time window →
+    agg) with trigger(availableNow) into a complete-mode memory sink —
+    complete mode emits every window regardless of watermark progress,
+    so the streaming execution engine itself must reproduce the batch
+    aggregation exactly under the value-hash oracle (the append-mode
+    watermark-emission subset is covered in pytest)."""
+    import os
+    import tempfile
+    import uuid
+
+    from .rollup import hourly_rollup, rollup_stream
 
     _views(spark, sf_dir, ["events"])
     out = hourly_rollup(spark.table("events"))
-    return out.select(
+    batch = out.select(
+        F.lit("batch").alias("leg"),
         "hour",
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
@@ -762,17 +774,57 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").cast("long").alias("n_users"),
     )
 
+    # FileStreamSource ingests a DIRECTORY; the driver tables are
+    # single files, so stage the events into one (≙ a landing zone)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    srcdir = os.path.join(
+        tempfile.mkdtemp(prefix="gate_rollsrc_"), "events"
+    )
+    ev.write.parquet(srcdir)
+    name = "gate_rollup_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        rollup_stream(spark, srcdir, ev.schema)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="gate_rollck_")
+        )
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    stream = spark.table(name).select(
+        F.lit("stream").alias("leg"),
+        "hour",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.lit(None).cast("long").alias("min_event_id"),
+        F.lit(None).cast("long").alias("max_event_id"),
+        F.lit(None).cast("long").alias("n_users"),
+    )
+    return batch.unionByName(stream)
+
 
 ORACLE_EVENTS_ROLLUP = """
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
-       event_type,
-       cast(count(*) as bigint) AS n_events,
-       cast(sum(cast(floor(value * 100.0) as bigint)) as bigint)
-         AS sum_cents,
-       cast(min(event_id) as bigint) AS min_event_id,
-       cast(max(event_id) as bigint) AS max_event_id,
-       cast(count(DISTINCT user_id) as bigint) AS n_users
-FROM events GROUP BY 1, 2
+WITH roll AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+         event_type,
+         cast(count(*) as bigint) AS n_events,
+         cast(sum(cast(floor(value * 100.0) as bigint)) as bigint)
+           AS sum_cents,
+         cast(min(event_id) as bigint) AS min_event_id,
+         cast(max(event_id) as bigint) AS max_event_id,
+         cast(count(DISTINCT user_id) as bigint) AS n_users
+  FROM events GROUP BY 1, 2)
+SELECT 'batch' AS leg, * FROM roll
+UNION ALL
+SELECT 'stream' AS leg, hour, event_type, n_events, sum_cents,
+       cast(NULL as bigint) AS min_event_id,
+       cast(NULL as bigint) AS max_event_id,
+       cast(NULL as bigint) AS n_users
+FROM roll
 """
 
 
