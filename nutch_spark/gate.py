@@ -2054,17 +2054,61 @@ WHERE num_urls >= 2 AND dns_failures = 0
 def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC export over span-bearing fetch results: record id, date,
     content length, and the full record hashed via its components
-    (WARCExporter.java record layout, deterministic record ids)."""
+    (WARCExporter.java record layout, deterministic record ids).
+
+    Tag-union second leg ('arc'): ArcSegmentCreator end-to-end over a
+    REAL ARC file written to disk — fixture records (one gzip member
+    each, filedesc:// file header first) are split, header-parsed,
+    url-filtered (every 11th record carries a query-char URL the
+    default filter gate drops), and shaped into fetch_results; the
+    oracle reconstructs the surviving records' content type, payload
+    length, and text-span/media-ref content
+    (tools/arc/ArcSegmentCreator.java:300-355, ArcRecordReader.java)."""
+    import tempfile
+
+    from .sources.arc import arc_records, arc_segment, write_arc
     from .sources.warc import warc_records
 
     _views(spark, sf_dir, ["orders"])
     fr = spark.sql(PARSE_FETCH_SQL).withColumn("segment", F.lit("seg"))
-    return warc_records(fr).select(
+    warc = warc_records(fr).select(
+        F.lit("warc").alias("leg"),
         "url",
-        F.col("content_length").cast("long").alias("content_length"),
-        "warc_date",
-        "record_id",
+        F.col("content_length").cast("long").alias("v1"),
+        F.col("warc_date").alias("s1"),
+        F.col("record_id").alias("s2"),
     )
+
+    arc_rows = []
+    for k in range(1, 1201):
+        url = f"http://host{k % 97}.example{k % 3}.com/p/{k}"
+        if k % 11 == 0:
+            url += "?x=1"  # query-char rule → dropped by the filter gate
+        if k % 3:
+            ctype = "text/html"
+            payload = (
+                f"arc page {k} href:http://host{(k + 291) % 97}"
+                f".example{(k + 291) % 3}.com/p/{k + 291}"
+            ).encode()
+        else:
+            ctype = "image/png"
+            # never 0x0A: parse strips a trailing newline
+            payload = b"\x89PNG" + bytes([65 + k % 26])
+        arc_rows.append((url, "1.2.3.4", "20240101000000", ctype, payload))
+    d = tempfile.mkdtemp(prefix="gate_arc_")
+    write_arc(arc_rows, os.path.join(d, "fixture.arc.gz"))
+    seg = arc_segment(arc_records(spark, d), CUR_MS, "arcseg")
+    sp = F.element_at(F.col("spans"), 1)
+    arc = seg.select(
+        F.lit("arc").alias("leg"),
+        "url",
+        F.element_at("metadata", "arc.content.length")
+        .cast("long")
+        .alias("v1"),
+        F.element_at("metadata", "Content-Type").alias("s1"),
+        F.coalesce(sp["text"], sp["media_ref"]).alias("s2"),
+    )
+    return warc.unionByName(arc)
 
 
 # payload = Spark to_json(struct(url, spans)): fields in struct order,
@@ -2102,15 +2146,31 @@ WITH rec AS (
          md5(concat({_url('o_orderkey')}, '|',
                     cast(cast({CUR_MS} as bigint) as string))) AS h
   FROM orders
+),
+arcrec AS (
+  SELECT k, {_url('k')} AS url,
+         case when k % 3 <> 0 then 'text/html' else 'image/png' end AS ct,
+         case when k % 3 <> 0
+              then concat('arc page ', cast(k as string),
+                          ' href:', {_url('(k + 291)')})
+              end AS body
+  FROM (SELECT range AS k FROM range(1, 1201)) ks
+  WHERE k % 11 <> 0
 )
-SELECT url,
-  cast(octet_length(encode(payload)) as bigint) AS content_length,
-  strftime(to_timestamp({CUR_MS} / 1000), '%Y-%m-%dT%H:%M:%SZ')
-    AS warc_date,
+SELECT 'warc' AS leg, url,
+  cast(octet_length(encode(payload)) as bigint) AS v1,
+  strftime(to_timestamp({CUR_MS} / 1000), '%Y-%m-%dT%H:%M:%SZ') AS s1,
   concat('<urn:uuid:', substr(h, 1, 8), '-', substr(h, 9, 4), '-',
          substr(h, 13, 4), '-', substr(h, 17, 4), '-',
-         substr(h, 21, 12), '>') AS record_id
+         substr(h, 21, 12), '>') AS s2
 FROM rec
+UNION ALL
+SELECT 'arc' AS leg, url,
+  cast(case when body IS NOT NULL then octet_length(encode(body))
+            else 5 end as bigint) AS v1,
+  ct AS s1,
+  coalesce(body, url) AS s2
+FROM arcrec
 """
 
 
