@@ -1860,20 +1860,32 @@ def q_parse_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).withColumn("segment", F.lit("seg"))
     _pd, cp = parse(fr, skip_truncated=True)
-    fs = cp.filter(F.col("status") == STATUS_FETCH_SUCCESS).select(
-        "url",
-        F.col("fetch_time").cast("long").alias("fetch_time"),
-        F.col("fetch_interval").cast("long").alias("fetch_interval"),
-    )
-    sg = cp.filter(F.col("status") == STATUS_SIGNATURE).select(
-        "url", "signature"
-    )
-    canon = fs.join(sg, "url").select(
-        F.lit("canon").alias("leg"),
-        "url",
-        F.col("fetch_time").alias("v1"),
-        F.col("fetch_interval").alias("v2"),
-        F.col("signature").alias("s1"),
+    # Pair each url's fetch_success datum with its signature datum in a
+    # ONE-PASS conditional aggregation: a filter/filter self-join here
+    # would evaluate the whole parse stage (pandas-UDF work included)
+    # once per branch plus shuffle both sides — 2× the cost for the
+    # same inner-join-on-url semantics (each url carries at most one
+    # datum of each status).
+    fss, sgs = F.lit(STATUS_FETCH_SUCCESS), F.lit(STATUS_SIGNATURE)
+    canon = (
+        cp.filter(F.col("status").isin(STATUS_FETCH_SUCCESS, STATUS_SIGNATURE))
+        .groupBy("url")
+        .agg(
+            F.max(
+                F.when(F.col("status") == fss, F.col("fetch_time").cast("long"))
+            ).alias("v1"),
+            F.max(
+                F.when(
+                    F.col("status") == fss,
+                    F.col("fetch_interval").cast("long"),
+                )
+            ).alias("v2"),
+            F.max(
+                F.when(F.col("status") == sgs, F.col("signature"))
+            ).alias("s1"),
+        )
+        .filter(F.col("v1").isNotNull() & F.col("s1").isNotNull())
+        .select(F.lit("canon").alias("leg"), "url", "v1", "v2", "s1")
     )
 
     lf = spark.sql(PARSE_LINKS_SQL).withColumn("segment", F.lit("seg"))
