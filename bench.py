@@ -62,7 +62,10 @@ T0 = 1_700_000_000_000
 def calibration_probe() -> dict:
     """Time the host's page-fault path (allocate-and-touch 256 MB), a
     fixed single-thread CPU workload, and a 64 MB write+fsync+read
-    disk round-trip, immediately before a measured phase. This VM's
+    round-trip on the SAME scratch medium the phase uses (run_phase
+    retargets tempfile at the tmpfs scratch before probing, so the
+    probe tracks the medium that actually carries the phase's
+    snapshots and shuffle files), immediately before a measured phase. This VM's
     dominant noise sources are a degraded page-fault path (~10k
     faults/s at its worst, ~100× below normal) and exhaustible
     burst-I/O credits on the backing disk (every cycle stage
@@ -107,6 +110,61 @@ def calibration_probe() -> dict:
         "cpu_sec": round(cpu_sec, 4),
         "io_sec": round(io_sec, 4),
     }
+
+
+def scratch_dir() -> str | None:
+    """tmpfs scratch for the measured phases' snapshots + shuffle
+    files, when the host has one with real headroom (>= 32 GiB free;
+    a 2.4M-URL cycle materializes ~1.7 GiB of parquet + spill).
+
+    Why tmpfs: the north-rule criterion is scaling efficiency between
+    N and 4N EXECUTORS. On a real cluster, scratch bandwidth scales
+    with the node count (disk-per-node, or a shuffle/storage service
+    provisioned per node); in this sandbox all executor JVMs share ONE
+    virtio disk whose burst-I/O credits exhaust over minutes — a
+    shared-resource artifact that anti-scales with executor count and
+    that the io-calibration probe measured swinging 0.25 s -> 4 s for
+    the same 64 MB round-trip within a single bench run. Parquet
+    round-trips stay real (encode/decode, commit protocol, file
+    layout); only the medium stops being the one piece of hardware a
+    real cluster never shares. Override/disable via $BENCH_SCRATCH
+    (set to a path, or to 'disk' to keep the default temp dir)."""
+    env = os.environ.get("BENCH_SCRATCH")
+    if env == "disk":
+        return None
+    if env:
+        return env
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 32 << 30:
+            return "/dev/shm"
+    except OSError:
+        pass
+    return None
+
+
+def _sweep_scratch() -> None:
+    """Remove leftovers a killed phase may have stranded on the
+    scratch: phase subprocesses are SIGKILLed on timeout, which skips
+    both the python cleanup handlers and Spark's shutdown hooks, and a
+    tmpfs leak is RAM held until reboot."""
+    sc = scratch_dir()
+    if not sc:
+        return
+    try:
+        names = os.listdir(sc)
+    except OSError:
+        return
+    for name in names:
+        if name.startswith(("bench_", "spark-", "blockmgr-")):
+            path = os.path.join(sc, name)
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
 
 
 class _Stop(Exception):
@@ -354,6 +412,16 @@ def run_phase(phase: str) -> dict:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_hosts = int(os.environ.get("BENCH_HOSTS", "120000"))
     pages = int(os.environ.get("BENCH_PAGES", "20"))
+    # Point scratch (snapshot parquet, shuffle/spill, temp dirs) at
+    # tmpfs when available — see scratch_dir() for why. Set before the
+    # calibration probes so the io probe measures the medium the phase
+    # actually uses. SPARK_LOCAL_DIRS covers the local-cluster worker
+    # JVMs (standalone executors prefer it over spark.local.dir).
+    scratch = scratch_dir()
+    if scratch:
+        os.environ["NUTCH_SPARK_LOCAL_DIR"] = scratch
+        os.environ["SPARK_LOCAL_DIRS"] = scratch
+        tempfile.tempdir = scratch
     if phase in ("low", "high"):
         # 24 shuffle partitions on BOTH shapes (see steady_cycle doc):
         # 12 waves on 1×2 cores, 3 waves on 4×2 — identical work
@@ -367,18 +435,23 @@ def run_phase(phase: str) -> dict:
                            shuffle_partitions=24)
         out["calib"] = calib
         out["calib_end"] = calibration_probe()
+        out["scratch"] = scratch or "disk"
         return out
     if phase == "e2e":
-        return run_e2e_crawl(4, 8, hosts=5000, pages=60, depth=3,
-                             topn=300_000)
+        out = run_e2e_crawl(4, 8, hosts=5000, pages=60, depth=3,
+                            topn=300_000)
+        out["scratch"] = scratch or "disk"
+        return out
     if phase == "e2e_plugins":
         # IDENTICAL shape to the plain e2e phase, so the plugins-on /
         # plugins-off throughput ratio isolates the plugin surface's
         # cost (r2/r3 ran a smaller depth-2 web here, and the unequal
         # shapes read as a bogus 7-8× "plugin cost" when the same-size
         # ablation measures 1.57×)
-        return run_e2e_crawl(4, 8, hosts=5000, pages=60, depth=3,
-                             topn=300_000, plugins=True)
+        out = run_e2e_crawl(4, 8, hosts=5000, pages=60, depth=3,
+                            topn=300_000, plugins=True)
+        out["scratch"] = scratch or "disk"
+        return out
     if phase == "queries":
         return run_queries(sf_dir, cpus)
     raise ValueError(phase)
@@ -435,6 +508,7 @@ def main() -> None:
     deadline = t_all + budget
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
+    _sweep_scratch()
 
     here = os.path.dirname(os.path.abspath(__file__))
     results: dict = {"pairs": [], "skipped": []}
@@ -577,6 +651,7 @@ def main() -> None:
         }
         line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
+    _sweep_scratch()
 
 
 if __name__ == "__main__":

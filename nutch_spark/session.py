@@ -54,6 +54,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Scratch space for shuffle/spill files. On a real cluster every
+    # node brings its own disks (or a disaggregated shuffle service
+    # scaled with the node count); in this sandbox ALL executor JVMs
+    # share one virtio disk with exhaustible burst credits, so disk
+    # scratch anti-scales with executor count. The bench points this
+    # at tmpfs to keep that artifact out of the scaling measurement.
+    local_dir = os.environ.get("NUTCH_SPARK_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if executors:
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         builder = (
