@@ -180,19 +180,28 @@ class _HostSampler:
     col 8 — this box has accrued more steal than user time since
     boot), so each low/high window records:
 
-      * steal_norm_pct — steal as % of NON-IDLE (runnable) jiffies.
-        Normalizing by demand makes the number comparable between the
-        2-core low shape and the 8-core high shape: under constant
-        co-tenancy the stolen FRACTION of runnable time is
-        shape-independent, while raw steal%%-of-total scales with our
-        own load and would always read higher on the high shape.
+      * steal_norm_pct — steal as % of NON-IDLE (runnable) jiffies
+        (raw steal%%-of-total scales with our own demand and is not
+        comparable across windows at all).
       * steal_burst_pct — the worst 5-sample (~5 s) sub-window, so a
         short burst is visible even when the window mean stays low.
 
-    The pair-acceptance check treats a pair as load-asymmetric when
-    the two windows' steal_norm_pct differ by more than 4 percentage
-    points — evidence-based exclusion, same contract as the probes
-    (never triggered by the measured efficiency itself)."""
+    How the pair-acceptance check uses it (_apply_steal_symmetry):
+    readings are compared across pairs WITHIN THE SAME SHAPE only —
+    low₀ vs low₁, selected-high₀ vs selected-high₁ — and the pair
+    whose window saw > 4 points MORE steal than the cleanest same-
+    shape window is flagged load-asymmetric. Cross-SHAPE comparison
+    was tried and rejected on measured grounds: at 2-core demand the
+    busy denominator is small while background steal (timer ticks
+    across 32 mostly-idle vCPUs) doesn't shrink with demand, and the
+    high shape's record is additionally the min-selected cleanest of
+    two cycles — so under bursty co-tenancy the low window reads
+    structurally higher (7-8%% vs ~1%% on a run where BOTH pairs saw
+    identical conditions) and a within-pair low-vs-high test flags
+    everything. Same-shape cross-pair readings cancel both biases;
+    steal is one-sided (it only ever slows a window), so only the
+    dirtier pair is flagged. Evidence-based exclusion, same contract
+    as the probes — never triggered by the measured efficiency."""
 
     def __init__(self) -> None:
         self._stop = threading.Event()
@@ -542,7 +551,13 @@ def run_phase(phase: str) -> dict:
         # host-condition drift across and within the windows.
         calib = calibration_probe()
         execs = 1 if phase == "low" else 4
-        cycles = 1 if phase == "low" else 2  # see steady_cycle doc
+        # high runs 2 measured cycles (min reported — see steady_cycle
+        # doc) unless the parent degraded this pair to 1 to fit the
+        # remaining budget (clock-triggered only, never value-triggered)
+        cycles = (
+            1 if phase == "low"
+            else int(os.environ.get("BENCH_HIGH_CYCLES", "2"))
+        )
         out = steady_cycle(execs, 2, n_hosts, pages, cycles=cycles,
                            shuffle_partitions=24)
         out["calib"] = calib
@@ -578,16 +593,18 @@ def run_phase(phase: str) -> dict:
 # one stuck phase can't eat the whole run.
 _EST = {"low": 440, "high": 300, "e2e": 180, "e2e_plugins": 280,
         "queries": 340}
+_EST_HIGH_1C = 190  # high window when budget-degraded to one cycle
 
 
-def _measure_pair(deadline: float) -> dict:
-    """One interleaved low→high pair. Probes bracket each window and
-    the host sampler covers its interior; the pair is load-symmetric
-    iff (a) every probe metric stayed within a 1.6× band across all
-    four readings (damped +0.1 s so micro-second jitter on a healthy
-    host can't trip it) AND (b) the two windows' demand-normalized
-    CPU-steal readings stayed within 4 percentage points of each
-    other (the mid-window burst the bracketing probes cannot see)."""
+def _measure_pair(deadline: float, high_cycles: int = 2) -> dict:
+    """One interleaved low→high pair. Probes bracket each window (the
+    within-pair check: every probe metric within a 1.6× band across
+    all four readings, damped +0.1 s so micro-second jitter on a
+    healthy host can't trip it); the steal sampler covers each
+    window's interior and is applied ACROSS pairs afterwards
+    (_apply_steal_symmetry — the mid-window burst the bracketing
+    probes cannot see)."""
+    os.environ["BENCH_HIGH_CYCLES"] = str(high_cycles)
     lo = _run_phase("low", timeout=_phase_timeout("low", deadline))
     hi = _run_phase("high", timeout=_phase_timeout("high", deadline))
     sp = hi["throughput_urls_per_sec"] / max(
@@ -603,13 +620,50 @@ def _measure_pair(deadline: float) -> dict:
         ]
         if vals and (max(vals) + 0.1) > 1.6 * (min(vals) + 0.1):
             symmetric = False
-    steals = [
-        ph.get("host", {}).get("steal_norm_pct") for ph in (lo, hi)
-    ]
-    if None not in steals and abs(steals[1] - steals[0]) > 4.0:
-        symmetric = False
     return {"low": lo, "high": hi, "speedup": round(sp, 3),
-            "efficiency": round(sp / 4, 3), "load_symmetric": symmetric}
+            "efficiency": round(sp / 4, 3), "probe_symmetric": symmetric,
+            "load_symmetric": symmetric}
+
+
+def _apply_steal_symmetry(pairs: list[dict], band_pp: float = 4.0) -> None:
+    """Recompute every pair's load_symmetric from its probe verdict
+    plus the cross-pair same-shape steal comparison (see _HostSampler
+    for why same-shape): for each shape, the cleanest window across
+    pairs is the reference, and a pair whose window saw more than
+    `band_pp` percentage points more of its runnable time stolen is
+    flagged. One-sided by construction — steal only slows a window,
+    so the cleaner pair is never the contaminated one. Idempotent;
+    called again whenever a pair is added."""
+    flagged = [False] * len(pairs)
+    for shape in ("low", "high"):
+        vals = [
+            p[shape].get("host", {}).get("steal_norm_pct") for p in pairs
+        ]
+        known = [v for v in vals if v is not None]
+        if len(known) < 2:
+            continue
+        ref = min(known)
+        for i, v in enumerate(vals):
+            if v is not None and v > ref + band_pp:
+                flagged[i] = True
+    for p, f in zip(pairs, flagged):
+        p["load_symmetric"] = p["probe_symmetric"] and not f
+
+
+def _scaling_summary(pairs: list[dict]) -> dict:
+    """Median efficiency over load-symmetric pairs (all pairs when
+    none survived the symmetry checks — a contaminated median beats
+    silence, and pairs_accepted says which case the record is)."""
+    accepted = [p for p in pairs if p["load_symmetric"]] or pairs
+    eff = round(statistics.median(p["efficiency"] for p in accepted), 3)
+    best = min(accepted, key=lambda p: abs(p["efficiency"] - eff))
+    return {
+        "efficiency": eff,
+        "speedup": best["speedup"],
+        "efficiency_stat": "median over load-symmetric pairs",
+        "pair_effs": [p["efficiency"] for p in pairs],
+        "pairs_accepted": len(accepted),
+    }
 
 
 def _phase_timeout(phase: str, deadline: float) -> int:
@@ -662,20 +716,31 @@ def main() -> None:
     # asymmetric pair triggers ONE replacement pair, budget allowing
     # (replacement is triggered by probe evidence only, never by the
     # measured efficiency). All pairs and probes are recorded.
-    def _pair_fits(extra_reserve: float = 0.0) -> bool:
+    def _pair_fits(high_cycles: int = 2, extra_reserve: float = 0.0) -> bool:
+        est_high = _EST["high"] if high_cycles == 2 else _EST_HIGH_1C
         return (
             time.time()
-            + (_EST["low"] + _EST["high"]) * 1.1
+            + (_EST["low"] + est_high) * 1.1
             + extra_reserve
             <= deadline
         )
 
+    def _pair_cycles() -> int:
+        """2 measured high cycles when the budget affords them while
+        still reserving the queries phase (the driver's per-query
+        record); else degrade THIS pair to 1. Clock-triggered only —
+        measured values are never consulted."""
+        reserve = 0.0 if "queries" in results else _EST["queries"] * 1.1
+        return 2 if _pair_fits(2, extra_reserve=reserve) else 1
+
     try:
         for _ in range(2):
-            if not _pair_fits():
+            cyc = _pair_cycles()
+            if not _pair_fits(cyc):
                 results["skipped"].append("pair")
                 continue
-            results["pairs"].append(_measure_pair(deadline))
+            results["pairs"].append(_measure_pair(deadline, high_cycles=cyc))
+            _apply_steal_symmetry(results["pairs"])
             flush()
         # Both-pairs-asymmetric rescue: if NO pair survived the load-
         # symmetry checks, the median would rest entirely on windows
@@ -689,9 +754,10 @@ def main() -> None:
         if (
             pairs
             and not any(p["load_symmetric"] for p in pairs)
-            and _pair_fits(extra_reserve=_EST["queries"] * 1.1)
+            and _pair_fits(2, extra_reserve=_EST["queries"] * 1.1)
         ):
             pairs.append(_measure_pair(deadline))
+            _apply_steal_symmetry(pairs)
             flush()
         for key in ("queries", "e2e", "e2e_plugins"):
             if not _fits(key, deadline):
@@ -707,9 +773,10 @@ def main() -> None:
         if (
             pairs
             and sum(p["load_symmetric"] for p in pairs) < len(pairs)
-            and _pair_fits()
+            and _pair_fits(2)
         ):
             pairs.append(_measure_pair(deadline))
+            _apply_steal_symmetry(pairs)
             flush()
     except _Stop:
         results["skipped"].append("terminated")
@@ -719,18 +786,7 @@ def main() -> None:
     results["total_bench_sec"] = round(time.time() - t_all, 1)
     pairs = results["pairs"]
     if pairs:
-        accepted = [p for p in pairs if p["load_symmetric"]] or pairs
-        eff = round(
-            statistics.median(p["efficiency"] for p in accepted), 3
-        )
-        best = min(accepted, key=lambda p: abs(p["efficiency"] - eff))
-        results["scaling_summary"] = {
-            "efficiency": eff,
-            "speedup": best["speedup"],
-            "efficiency_stat": "median over load-symmetric pairs",
-            "pair_effs": [p["efficiency"] for p in pairs],
-            "pairs_accepted": len(accepted),
-        }
+        results["scaling_summary"] = _scaling_summary(pairs)
     flush()
 
     # The stdout contract is ONE JSON line, and the driver keeps only
