@@ -563,26 +563,85 @@ FROM o FULL OUTER JOIN i ON o.url = i.url
 
 
 def q_updatedb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.updatedb import updatedb
+    """The CrawlDbReducer merge, run TWICE over identical inputs and
+    tag-unioned: once as the batch operator, once through the
+    Structured Streaming ingestion path (streaming.stream_updatedb —
+    readStream over a landing directory → foreachBatch merge →
+    snapshot-store commit, trigger(availableNow)). Both legs share one
+    oracle body: the streaming engine, the FETCH_RESULTS landing
+    schema, the foreachBatch clock, and the store commit must together
+    reproduce the batch merge bit-for-bit under the value hash (the
+    multi-batch sequential-merge and seen-filter streaming variants
+    are pytest-covered, test_cycle.py)."""
+    import os
+    import tempfile
 
-    out = updatedb(
-        spark,
-        frontier_df(spark, sf_dir),
-        fetch_results_df(spark, sf_dir),
-        crawl_parse_df(spark, sf_dir),
-        CUR_MS,
-        schedule="default",
+    from .operators.updatedb import updatedb
+    from .schema import FETCH_RESULTS
+    from .store import SnapshotStore
+    from .streaming import stream_updatedb
+
+    fr = frontier_df(spark, sf_dir)
+    fe = fetch_results_df(spark, sf_dir)
+
+    def shaped(df: DataFrame, leg: str) -> DataFrame:
+        return df.select(
+            F.lit(leg).alias("leg"),
+            "url",
+            F.col("status").cast("long").alias("status"),
+            F.col("fetch_time").cast("long").alias("fetch_time"),
+            F.col("retries").cast("long").alias("retries"),
+            F.col("fetch_interval").cast("long").alias("fetch_interval"),
+            F.col("score").cast("double").alias("score"),
+            "signature",
+            F.col("modified_time").cast("long").alias("modified_time"),
+        )
+
+    batch = shaped(
+        updatedb(spark, fr, fe, crawl_parse_df(spark, sf_dir), CUR_MS,
+                 schedule="default"),
+        "batch",
     )
-    return out.select(
+
+    # stream leg: land the fetch results as one parquet batch shaped to
+    # the FETCH_RESULTS landing schema (fields the merge doesn't read
+    # are filled with honest derivables), seed the store's frontier,
+    # and drain with availableNow. parse_cp injects the same synthetic
+    # crawl_parse the batch leg used; the clock pins the merge time.
+    fe_full = fe.select(
         "url",
-        F.col("status").cast("long").alias("status"),
-        F.col("fetch_time").cast("long").alias("fetch_time"),
-        F.col("retries").cast("long").alias("retries"),
-        F.col("fetch_interval").cast("long").alias("fetch_interval"),
-        F.col("score").cast("double").alias("score"),
-        "signature",
-        F.col("modified_time").cast("long").alias("modified_time"),
+        F.xxhash64("url").alias("url_hash"),
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
+        F.col("status").cast("int").alias("status"),
+        F.lit(1).alias("prev_status"),
+        "fetch_time",
+        F.col("retries").cast("int").alias("retries"),
+        F.col("fetch_interval").cast("int").alias("fetch_interval"),
+        F.col("score").cast("float").alias("score"),
+        F.lit(None).cast("string").alias("prev_signature"),
+        "prev_modified_time",
+        F.lit(None).cast("string").alias("redirect_to"),
+        F.lit(None).cast("string").alias("protocol_status"),
+        F.lit(None).cast(FETCH_RESULTS["spans"].dataType).alias("spans"),
+        "metadata",
+        F.lit("stream").alias("segment"),
     )
+    work = tempfile.mkdtemp(prefix="gate_streamdb_")
+    incoming = os.path.join(work, "incoming")
+    fe_full.write.parquet(incoming)
+    store = SnapshotStore(os.path.join(work, "wh"))
+    store.write(fr, "frontier")
+    q = stream_updatedb(
+        spark,
+        store,
+        incoming,
+        os.path.join(work, "ckpt"),
+        clock=lambda _b: CUR_MS,
+        parse_cp=lambda _b: crawl_parse_df(spark, sf_dir),
+    )
+    q.awaitTermination(300)
+    stream = shaped(store.read(spark, "frontier"), "stream")
+    return batch.unionByName(stream)
 
 
 # The CrawlDbReducer state machine (operators/updatedb.py) re-expressed
@@ -723,6 +782,16 @@ SELECT url,
     else seed_modified end as bigint) AS modified_time
 FROM br
 WHERE old_set OR fetch_set OR has_links
+"""
+
+# the gate runs the merge twice — as the batch operator and through
+# the Structured Streaming ingestion path — over identical inputs, so
+# the oracle is the same body under both leg tags
+ORACLE_UPDATEDB_LEGS = f"""
+WITH result AS ({ORACLE_UPDATEDB})
+SELECT 'batch' AS leg, * FROM result
+UNION ALL
+SELECT 'stream' AS leg, * FROM result
 """
 
 
@@ -2746,7 +2815,26 @@ PARSEFILTER_RULES = (
 
 
 def q_parsefilter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.parsefilters import ParseFilterChain, RegexParseFilter
+    """HtmlParseFilter chain, two tag-union legs over the documents
+    table:
+
+      * 'regex' — parsefilter-regex rule table (text vs raw-span-html
+        sources), v1..v3 = has_scan / media_seven / agg_then_join;
+      * 'meta' — parse-metatags + headings over kind=meta/heading
+        spans, chained AFTER the regex filter so the tika-compat
+        mirror loop (MetaTagsParser.java:105-108) sees earlier-chain
+        metadata: v1 = metatag.author (multi-value tab append, name
+        lowercasing, null-content skip), v2 = metatag.has_scan (the
+        MIRRORED regex entry), v3 = metatag.keywords (present in the
+        spans but NOT configured — must stay absent), v4/v5 = h1/h2
+        (whitespace collapse, first-element pick, empty-heading skip,
+        absent-tag null)."""
+    from .operators.parsefilters import (
+        HeadingsParseFilter,
+        MetaTagsParser,
+        ParseFilterChain,
+        RegexParseFilter,
+    )
 
     _views(spark, sf_dir, ["documents"])
     # parse_data-shaped input: one text span + one media span per doc,
@@ -2775,25 +2863,118 @@ def q_parsefilter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         (RegexParseFilter.from_text(PARSEFILTER_RULES),)
     )
     out = chain.apply(docs)
-    return out.select(
+    regex = out.select(
+        F.lit("regex").alias("leg"),
         "doc_id",
-        F.element_at("parse_meta", F.lit("has_scan")).alias("has_scan"),
-        F.element_at("parse_meta", F.lit("media_seven")).alias("media_seven"),
-        F.element_at("parse_meta", F.lit("agg_then_join")).alias("agg_then_join"),
+        F.element_at("parse_meta", F.lit("has_scan")).alias("v1"),
+        F.element_at("parse_meta", F.lit("media_seven")).alias("v2"),
+        F.element_at("parse_meta", F.lit("agg_then_join")).alias("v3"),
+        F.lit(None).cast("string").alias("v4"),
+        F.lit(None).cast("string").alias("v5"),
     )
+
+    # -- meta leg: head spans (kind=meta name/content, kind=heading) --
+    did = F.col("doc_id")
+    span = lambda kind, ref, text, off: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"),
+        text.alias("text"),
+        ref.alias("media_ref"),
+        F.lit(off).alias("offset"),
+    )
+    head_docs = spark.table("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        F.filter(
+            F.array(
+                span("text", F.lit(None).cast("string"), F.col("text"), 0),
+                # mixed-case name → lowercased key
+                span("meta", F.lit("Author"),
+                     F.concat(F.lit("auth-"), (did % 50).cast("string")), 1),
+                # repeat of the same tag (doc_id%3=0) → tab-appended
+                F.when(
+                    did % 3 == 0,
+                    span("meta", F.lit("AUTHOR"),
+                         F.concat(F.lit("a2-"), (did % 11).cast("string")), 2),
+                ),
+                # null content (doc_id%5=0) → skipped by the filter
+                F.when(
+                    did % 5 == 0,
+                    span("meta", F.lit("author"),
+                         F.lit(None).cast("string"), 3),
+                ),
+                # present but NOT in the configured name set
+                span("meta", F.lit("Keywords"),
+                     F.concat(F.lit("kw-"), (did % 7).cast("string")), 4),
+                # h1: whitespace-collapse target; blank for doc_id%7=0
+                span("heading", F.lit("H1"),
+                     F.when(did % 7 == 0, F.lit("   ")).otherwise(
+                         F.concat(F.lit(" Title\t "), did.cast("string"), F.lit("  end "))
+                     ), 5),
+                # second h1 — multivalued=False must keep the first
+                # non-empty only (so it's the pick exactly when the
+                # first collapsed to empty)
+                F.when(
+                    did % 4 == 0,
+                    span("heading", F.lit("h1"), F.lit("Second"), 6),
+                ),
+                # h2 only on even ids → odd ids get no h2 entry
+                F.when(
+                    did % 2 == 0,
+                    span("heading", F.lit("h2"),
+                         F.concat(F.lit("sub "), did.cast("string")), 7),
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        ).alias("spans"),
+    )
+    meta_chain = ParseFilterChain(
+        (
+            RegexParseFilter.from_text(PARSEFILTER_RULES),
+            MetaTagsParser(names=("author", "has_scan")),
+            HeadingsParseFilter(headings=("h1", "h2"), multivalued=False),
+        )
+    )
+    mout = meta_chain.apply(head_docs)
+    meta = mout.select(
+        F.lit("meta").alias("leg"),
+        "doc_id",
+        F.element_at("parse_meta", F.lit("metatag.author")).alias("v1"),
+        F.element_at("parse_meta", F.lit("metatag.has_scan")).alias("v2"),
+        F.element_at("parse_meta", F.lit("metatag.keywords")).alias("v3"),
+        F.element_at("parse_meta", F.lit("h1")).alias("v4"),
+        F.element_at("parse_meta", F.lit("h2")).alias("v5"),
+    )
+    return regex.unionByName(meta)
 
 
 ORACLE_PARSEFILTER_REGEX = """
-SELECT cast(doc_id as bigint) AS doc_id,
-       CASE WHEN regexp_matches(text, 'scan')
-            THEN 'true' ELSE 'false' END AS has_scan,
+WITH scans AS (
+  SELECT cast(doc_id as bigint) AS doc_id, text,
+         CASE WHEN regexp_matches(text, 'scan')
+              THEN 'true' ELSE 'false' END AS has_scan
+  FROM documents)
+SELECT 'regex' AS leg, doc_id, has_scan AS v1,
        CASE WHEN regexp_matches(
                 text || ' http://media.example.com/' || doc_id,
                 'media\\.example\\.com/[0-9]*7$')
-            THEN 'true' ELSE 'false' END AS media_seven,
+            THEN 'true' ELSE 'false' END AS v2,
        CASE WHEN regexp_matches(text, 'agg .*join')
-            THEN 'true' ELSE 'false' END AS agg_then_join
-FROM documents
+            THEN 'true' ELSE 'false' END AS v3,
+       cast(NULL as varchar) AS v4, cast(NULL as varchar) AS v5
+FROM scans
+UNION ALL
+SELECT 'meta' AS leg, doc_id,
+       concat('auth-', doc_id % 50) ||
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(9) || 'a2-' || (doc_id % 11) ELSE '' END AS v1,
+       has_scan AS v2,
+       cast(NULL as varchar) AS v3,
+       CASE WHEN doc_id % 7 = 0 AND doc_id % 4 = 0 THEN 'Second'
+            WHEN doc_id % 7 = 0 THEN cast(NULL as varchar)
+            ELSE concat('Title ', doc_id, ' end') END AS v4,
+       CASE WHEN doc_id % 2 = 0 THEN concat('sub ', doc_id)
+            ELSE cast(NULL as varchar) END AS v5
+FROM scans
 """
 
 
@@ -3375,7 +3556,7 @@ CRAWL_QUERIES: dict[str, tuple] = {
     "generate_multiseg": (q_generate_multiseg, ORACLE_GENERATE_MULTISEG),
     "linkdb_invert": (q_linkdb, ORACLE_LINKDB),
     "node_degrees": (q_node_degrees, ORACLE_NODE_DEGREES),
-    "updatedb": (q_updatedb, ORACLE_UPDATEDB),
+    "updatedb": (q_updatedb, ORACLE_UPDATEDB_LEGS),
     "crawldb_merge": (q_crawldb_merge, ORACLE_CRAWLDB_MERGE),
     "segment_merge": (q_segment_merge, ORACLE_SEGMENT_MERGE),
     "segment_list": (q_segment_list, ORACLE_SEGMENT_LIST),

@@ -40,6 +40,7 @@ def stream_updatedb(
     available_now: bool = True,
     schedule: str = "default",
     seen_filter=None,
+    parse_cp: Callable[[object], object] | None = None,
 ):
     """Start the streaming merge: parquet files of FETCH_RESULTS rows
     appearing under `incoming_dir` are parsed and folded into the
@@ -50,6 +51,13 @@ def stream_updatedb(
     pure function of the data — replays after a crash produce the same
     frontier, which is what makes foreachBatch + snapshot commits
     exactly-once here.
+
+    `parse_cp(batch_df) -> crawl_parse DataFrame` overrides the default
+    parse stage (parse_pages → crawl_parse_from) — the streaming twin
+    of the batch driver's configurable parse surface, for fleets that
+    land pre-extracted datums alongside (or instead of) raw span
+    content. It must be deterministic in the batch for the replay
+    guarantee to hold.
 
     `seen_filter` (operators.seen SeenFilter | CuckooSeenFilter) prunes
     each micro-batch's frontier join exactly like the batch crawl loop:
@@ -71,8 +79,11 @@ def stream_updatedb(
         now = _clock(batch_df)
         # cut lineage: the batch is consumed by parse + updatedb twice
         batch_df = batch_df.localCheckpoint()
-        pd_ = parse_pages(batch_df).localCheckpoint()
-        cp = crawl_parse_from(pd_, batch_df)
+        if parse_cp is not None:
+            cp = parse_cp(batch_df)
+        else:
+            pd_ = parse_pages(batch_df).localCheckpoint()
+            cp = crawl_parse_from(pd_, batch_df)
         fr = (
             store.read(spark, "frontier")
             if store.exists("frontier")
