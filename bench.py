@@ -4,7 +4,9 @@ Measures three things:
 
   1. **Steady-state crawl-cycle throughput + scaling** (the BASELINE.json
      metric): one full generate → fetch → parse → updatedb cycle over a
-     synthesized mid-crawl frontier (2.4M due URLs, 120k hosts), every
+     synthesized mid-crawl frontier (2.4M due URLs, 120k hosts; a
+     smaller input deflates measured efficiency via per-cycle fixed
+     costs — see run_phase), every
      stage materialized to parquet like the real driver. Run as
      interleaved low/high pairs — local-cluster[1,2] (N executors) vs
      local-cluster[4,2] (4N executors), real executor JVMs, identical
@@ -117,7 +119,8 @@ def calibration_probe() -> dict:
 def scratch_dir() -> str | None:
     """tmpfs scratch for the measured phases' snapshots + shuffle
     files, when the host has one with real headroom (>= 32 GiB free;
-    a 2.4M-URL cycle materializes ~1.7 GiB of parquet + spill).
+    a 2.4M-URL scaling cycle materializes ~1.7 GiB of parquet +
+    spill).
 
     Why tmpfs: the north-rule criterion is scaling efficiency between
     N and 4N EXECUTORS. On a real cluster, scratch bandwidth scales
@@ -530,6 +533,17 @@ def run_queries(sf_dir: str, cores: int, per_query_sec: int = 90) -> dict[str, f
 def run_phase(phase: str) -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # 120k hosts × 20 pages = 2.4M due URLs. Halving to 1.2M to fit
+    # the budget was TRIED AND REJECTED (round-5 calibration): low-
+    # shape throughput is linear in size (8.2k URLs/s at both sizes,
+    # same window) but the 4-JVM shape carries ~8 s/cycle of fixed
+    # cost (vs ~4 s on 1×2), so the measured efficiency DEFLATES as
+    # cycles shrink — 0.73-0.75 at 1.2M vs 0.785-0.85 at 2.4M on
+    # comparable windows, against a fixed-cost-free asymptote of
+    # ~0.85+. At the north rule's 10^10-URL scale cycles are hours
+    # and the fixed cost vanishes, so the bigger input is the honest
+    # estimator; the driver-budget fix is phase ORDERING instead
+    # (queries first, e2e between the pairs — see main()).
     n_hosts = int(os.environ.get("BENCH_HOSTS", "120000"))
     pages = int(os.environ.get("BENCH_PAGES", "20"))
     # Point scratch (snapshot parquet, shuffle/spill, temp dirs) at
@@ -586,11 +600,11 @@ def run_phase(phase: str) -> dict:
 
 # Conservative per-phase wall-clock estimates (sec), from the r03
 # official record + the round-5 full runs on this host: low window
-# ~290-390 s cycle + ~45 s warm-up/JVM, high 2 × ~95-125 s + ~40 s,
-# e2e 90 s, plugins ~140-215 s, queries sum ~185 s + startup. A phase
-# is attempted only if the remaining budget covers its estimate; its
-# subprocess timeout is the remaining budget (less a flush margin), so
-# one stuck phase can't eat the whole run.
+# ~290-430 s cycle + ~45 s warm-up/JVM, high 2 × ~92-140 s + ~40 s,
+# e2e 90 s, plugins ~140-215 s, queries sum ~200-220 s + startup. A
+# phase is attempted only if the remaining budget covers its
+# estimate; its subprocess timeout is the remaining budget (less a
+# flush margin), so one stuck phase can't eat the whole run.
 _EST = {"low": 440, "high": 300, "e2e": 180, "e2e_plugins": 280,
         "queries": 340}
 _EST_HIGH_1C = 190  # high window when budget-degraded to one cycle
@@ -727,46 +741,77 @@ def main() -> None:
 
     def _pair_cycles() -> int:
         """2 measured high cycles when the budget affords them while
-        still reserving the queries phase (the driver's per-query
-        record); else degrade THIS pair to 1. Clock-triggered only —
-        measured values are never consulted."""
+        still reserving the queries phase when it hasn't run yet (it
+        normally runs FIRST, so the reserve is usually 0); else
+        degrade THIS pair to 1. Clock-triggered only — measured values
+        are never consulted."""
         reserve = 0.0 if "queries" in results else _EST["queries"] * 1.1
         return 2 if _pair_fits(2, extra_reserve=reserve) else 1
 
     try:
-        for _ in range(2):
+        # Queries phase FIRST: it is the driver's per-query record and
+        # the round-5 field run proved the pairs can overrun their
+        # estimates and starve everything behind them (BENCH_LOCAL
+        # skipped=[queries, e2e_plugins]). It is also clock-bounded
+        # tighter than any other phase (per-query watchdog), so it
+        # cannot eat the scaling phases' budget.
+        if _fits("queries", deadline):
+            results["queries"] = _run_phase(
+                "queries", timeout=_phase_timeout("queries", deadline)
+            )
+            flush()
+        else:
+            results["skipped"].append("queries")
+        def _one_pair() -> None:
             cyc = _pair_cycles()
             if not _pair_fits(cyc):
                 results["skipped"].append("pair")
-                continue
+                return
             results["pairs"].append(_measure_pair(deadline, high_cycles=cyc))
             _apply_steal_symmetry(results["pairs"])
             flush()
+
+        def _one_phase(key: str) -> None:
+            if not _fits(key, deadline):
+                results["skipped"].append(key)
+                return
+            results[key] = _run_phase(
+                key, timeout=_phase_timeout(key, deadline)
+            )
+            flush()
+
+        # pair1 → e2e → pair2: the e2e crawl is the BASELINE.json
+        # headline metric and cheap (~90 s actual vs the pairs'
+        # ~10-13 min each), so it must not sit behind BOTH pairs on a
+        # degraded host — r5's field run lost queries+plugins exactly
+        # that way. Worst case now records queries, pair1, e2e, and a
+        # (possibly 1-cycle-degraded) pair2; plugins goes first when
+        # the clock runs out.
+        _one_pair()
+        _one_phase("e2e")
+        _one_pair()
         # Both-pairs-asymmetric rescue: if NO pair survived the load-
         # symmetry checks, the median would rest entirely on windows
         # with probe/steal-attested contamination — the scaling
         # criterion is the headline, so spend one replacement pair NOW
-        # while reserving the queries phase's estimate (the driver's
-        # per-query record), at the potential cost of the trailing e2e
-        # phases. Triggered by probe/steal evidence only, never by the
+        # at the potential cost of the trailing plugins phase.
+        # Triggered by probe/steal evidence only, never by the
         # measured efficiency.
         pairs = results["pairs"]
         if (
             pairs
             and not any(p["load_symmetric"] for p in pairs)
-            and _pair_fits(2, extra_reserve=_EST["queries"] * 1.1)
+            and _pair_fits(
+                2,
+                extra_reserve=(
+                    0.0 if "queries" in results else _EST["queries"] * 1.1
+                ),
+            )
         ):
             pairs.append(_measure_pair(deadline))
             _apply_steal_symmetry(pairs)
             flush()
-        for key in ("queries", "e2e", "e2e_plugins"):
-            if not _fits(key, deadline):
-                results["skipped"].append(key)
-                continue
-            results[key] = _run_phase(
-                key, timeout=_phase_timeout(key, deadline)
-            )
-            flush()
+        _one_phase("e2e_plugins")
         # single-asymmetric-pair replacement, budget allowing (the
         # cheap case: a symmetric pair already exists, so this only
         # thickens the median's sample)
