@@ -161,7 +161,7 @@ def _sweep_scratch() -> None:
     except OSError:
         return
     for name in names:
-        if name.startswith(("bench_", "spark-", "blockmgr-")):
+        if name.startswith(("bench_", "spark-", "blockmgr-", "gate_")):
             path = os.path.join(sc, name)
             if os.path.isdir(path):
                 shutil.rmtree(path, ignore_errors=True)
@@ -396,12 +396,24 @@ def steady_cycle(executors: int, cores_per: int, n_hosts: int, pages: int,
         robots = {r["host"]: r for r in robots_rows(web)}
         cycle_secs: list[float] = []
         hosts: list[dict | None] = []
+        probes: list[tuple[dict, dict]] = []
         n = 0
         for rep in range(max(cycles, 1)):
+            # probes bracket each MEASURED cycle, not the phase: a
+            # phase-boundary probe sits on the far side of the warm-up
+            # (~45 s from the measured window) and, on a min-of-2 high
+            # shape, brackets BOTH cycles — the first official
+            # reordered run voided its passing pair on a fault-probe
+            # transient at the low phase's start while the measured
+            # low cycle matched the other pair's within 0.8 % and both
+            # selected windows were the run's steal-cleanest
+            p0 = calibration_probe()
             with _HostSampler() as hs:
                 n, el = _run_cycle(spark, web, robots, f"{d}/r{rep}", -1, -1)
+            p1 = calibration_probe()
             cycle_secs.append(round(el, 2))
             hosts.append(hs.result())
+            probes.append((p0, p1))
             shutil.rmtree(f"{d}/r{rep}", ignore_errors=True)
         best = min(range(len(cycle_secs)), key=cycle_secs.__getitem__)
         t = cycle_secs[best]
@@ -411,12 +423,15 @@ def steady_cycle(executors: int, cores_per: int, n_hosts: int, pages: int,
             "urls_fetched": n,
             "elapsed_sec": t,
             "cycle_secs": cycle_secs,
-            # host-steal record of the REPORTED (min) cycle's window —
-            # the load-symmetry check compares exactly the windows that
-            # produced the pair's two numbers, so a burst that min-of-2
-            # already dodged doesn't void the pair
+            # host-steal + probe record of the REPORTED (min) cycle's
+            # window — the load-symmetry check compares exactly the
+            # windows that produced the pair's two numbers, so a burst
+            # that min-of-2 already dodged doesn't void the pair
             "host": hosts[best],
             "host_all_cycles": hosts,
+            "calib": probes[best][0],
+            "calib_end": probes[best][1],
+            "calib_all_cycles": probes,
             "throughput_urls_per_sec": round(n / max(t, 1e-9), 1),
         }
     finally:
@@ -563,7 +578,7 @@ def run_phase(phase: str) -> dict:
         # the IDENTICAL warm-up + one measured cycle, bracketed by
         # calibration probes so the pair acceptance check can see
         # host-condition drift across and within the windows.
-        calib = calibration_probe()
+        calib_phase = calibration_probe()
         execs = 1 if phase == "low" else 4
         # high runs 2 measured cycles (min reported — see steady_cycle
         # doc) unless the parent degraded this pair to 1 to fit the
@@ -574,8 +589,11 @@ def run_phase(phase: str) -> dict:
         )
         out = steady_cycle(execs, 2, n_hosts, pages, cycles=cycles,
                            shuffle_partitions=24)
-        out["calib"] = calib
-        out["calib_end"] = calibration_probe()
+        # phase-boundary probes stay on the record for attribution,
+        # but the pair-symmetry check reads the per-selected-cycle
+        # calib/calib_end that steady_cycle attaches (see its comment)
+        out["calib_phase"] = calib_phase
+        out["calib_phase_end"] = calibration_probe()
         out["scratch"] = scratch or "disk"
         return out
     if phase == "e2e":
@@ -611,13 +629,17 @@ _EST_HIGH_1C = 190  # high window when budget-degraded to one cycle
 
 
 def _measure_pair(deadline: float, high_cycles: int = 2) -> dict:
-    """One interleaved low→high pair. Probes bracket each window (the
-    within-pair check: every probe metric within a 1.6× band across
-    all four readings, damped +0.1 s so micro-second jitter on a
-    healthy host can't trip it); the steal sampler covers each
-    window's interior and is applied ACROSS pairs afterwards
-    (_apply_steal_symmetry — the mid-window burst the bracketing
-    probes cannot see)."""
+    """One interleaved low→high pair. Probes bracket each MEASURED
+    cycle, and the within-pair check reads the SELECTED (min) cycle's
+    bracket on each shape: every probe metric within a 1.6× band
+    across all four readings, damped +0.1 s so micro-second jitter on
+    a healthy host can't trip it. Phase-boundary probes stay on the
+    record (calib_phase) but don't gate — they sit across the warm-up
+    from the measured window and, on a min-of-2 shape, across the
+    discarded cycle too. The steal sampler covers each window's
+    interior and is applied ACROSS pairs afterwards
+    (_apply_steal_symmetry — the mid-window burst even a
+    cycle-bracketing probe cannot see)."""
     os.environ["BENCH_HIGH_CYCLES"] = str(high_cycles)
     lo = _run_phase("low", timeout=_phase_timeout("low", deadline))
     hi = _run_phase("high", timeout=_phase_timeout("high", deadline))

@@ -574,6 +574,7 @@ def q_updatedb(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-batch sequential-merge and seen-filter streaming variants
     are pytest-covered, test_cycle.py)."""
     import os
+    import shutil
     import tempfile
 
     from .operators.updatedb import updatedb
@@ -640,7 +641,12 @@ def q_updatedb(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_cp=lambda _b: crawl_parse_df(spark, sf_dir),
     )
     q.awaitTermination(300)
-    stream = shaped(store.read(spark, "frontier"), "stream")
+    # materialize the streamed frontier off the temp warehouse so the
+    # landing/checkpoint/store dirs can be removed before the caller
+    # evaluates the union (the gate otherwise leaks a dir per run —
+    # RAM, not disk, when the bench points scratch at tmpfs)
+    stream = shaped(store.read(spark, "frontier"), "stream").localCheckpoint()
+    shutil.rmtree(work, ignore_errors=True)
     return batch.unionByName(stream)
 
 
