@@ -521,6 +521,17 @@ def run_queries(sf_dir: str, cores: int, per_query_sec: int = 90) -> dict[str, f
     sc = spark.sparkContext
     times: dict[str, float] = {}
     try:
+        # Warm-up before the timed loop — every other phase warms its
+        # JVM (steady_cycle runs a small full cycle first); without
+        # this the FIRST query absorbs JVM JIT + Arrow + parquet-footer
+        # machinery startup and reads ~10-20× its steady cost
+        # (readdb_stats, a single groupBy, recorded 24.9 s as query #1
+        # vs ~1 s mid-list on the same host).
+        try:
+            spark.read.parquet(f"{sf_dir}/region.parquet").count()
+            spark.createDataFrame([(1,)], "a int").toPandas()
+        except Exception:
+            pass
         for name, fn in entry_mod.queries().items():
             t0 = time.time()
             done = threading.Event()
