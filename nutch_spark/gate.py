@@ -1924,6 +1924,18 @@ def q_parse_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.parse import parse
 
     _views(spark, sf_dir, ["orders"])
+    # The synthetic input is ONE small parquet scan (1-2 partitions at
+    # gate scale), and both the span-construction SQL and parse's
+    # span-extraction chain — the gate's whole cost — inherit that
+    # width (parse preserves input partitioning; production fetch
+    # segments arrive host-partitioned wide). Repartition the RAW scan
+    # before any projection so the expression work parallelizes too
+    # (post-projection repartition still ran the synthesis single-task:
+    # a user repartition doesn't commute below its input projection).
+    # Measured 30 s → ~6 s at sf0.1 on 32 cores.
+    spark.table("orders").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView("orders_wide")
     fr = spark.sql(
         f"""
         SELECT b.*,
@@ -1931,10 +1943,17 @@ def q_parse_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                          as bigint) % 5 = 0
                     then map('Content-Length', '9999999')
                     else cast(null as map<string,string>) end AS metadata
-        FROM ({PARSE_FETCH_SQL}) b
+        FROM ({PARSE_FETCH_SQL.replace("FROM orders", "FROM orders_wide")}) b
         """
     ).withColumn("segment", F.lit("seg"))
     _pd, cp = parse(fr, skip_truncated=True)
+    # Checkpoint hygiene (same rationale as the crawl driver's
+    # per-stage materialization, parse_pages docstring): the fused
+    # plan references the span-construction + extraction chain up to
+    # 14× (one parquet re-scan each — no subexpression elimination for
+    # lambda-bearing exprs), so cut the lineage once after parse and
+    # let the groupBy/union run over materialized rows.
+    cp = cp.localCheckpoint()
     # Pair each url's fetch_success datum with its signature datum in a
     # ONE-PASS conditional aggregation: a filter/filter self-join here
     # would evaluate the whole parse stage (pandas-UDF work included)
@@ -1963,14 +1982,16 @@ def q_parse_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("canon").alias("leg"), "url", "v1", "v2", "s1")
     )
 
-    lf = spark.sql(PARSE_LINKS_SQL).withColumn("segment", F.lit("seg"))
+    lf = spark.sql(
+        PARSE_LINKS_SQL.replace("FROM orders", "FROM orders_wide")
+    ).withColumn("segment", F.lit("seg"))  # see orders_wide above
     lpd = parse(
         lf,
         max_outlinks=3,
         ignore_external=True,
         external_mode="byHost",
         exemptions=ExemptionRules([r"-exempt$"]),
-    )[0]
+    )[0].localCheckpoint()  # same lineage cut as the canon leg
     links = lpd.select("url", F.explode("outlinks").alias("o")).select(
         F.lit("link").alias("leg"),
         "url",
