@@ -562,22 +562,23 @@ def run_queries(sf_dir: str, cores: int, per_query_sec: int = 150) -> dict[str, 
 def run_phase(phase: str) -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # 180k hosts × 20 pages = 3.6M due URLs. Shrinking the input was
-    # TRIED AND REJECTED twice (round-5 calibration): low-shape
-    # throughput is linear in size (8.2k URLs/s at 1.2M and 2.4M,
-    # same window) but the 4-JVM shape carries a fixed per-cycle cost
-    # (scheduling barriers + snapshot install, larger in absolute
-    # terms than on 1×2), so the measured efficiency DEFLATES as
-    # cycles shrink — clean-window readings 0.73-0.75 at 1.2M,
-    # 0.75-0.80 at 2.4M. Fitting serial fraction f in S=4/(1+3f)
-    # across the two sizes splits f into ~0.055 inherent + a fixed
-    # part that halves per doubling, projecting ~0.81-0.82 at 3.6M
-    # against a fixed-cost-free asymptote of ~0.85+. At the north
-    # rule's 10^10-URL scale cycles are hours and the fixed cost
-    # vanishes, so the bigger input is the honest estimator; the
-    # driver-budget fix is phase ORDERING (queries first, e2e between
-    # the pairs — see main()), not a smaller input.
-    n_hosts = int(os.environ.get("BENCH_HOSTS", "180000"))
+    # 120k hosts × 20 pages = 2.4M due URLs. BOTH directions were
+    # tried and rejected (round-5 calibration): halving to 1.2M
+    # deflates measured efficiency (0.73-0.75 vs 0.78-0.80 at 2.4M on
+    # clean windows — the 4-JVM shape's fixed per-cycle cost grows as
+    # a fraction of a shrinking cycle), and raising to 3.6M does NOT
+    # recover the projected amortization — a clean-window validation
+    # pair at 180k read high 115.2 s (4% WORSE than linear vs 73.6 s
+    # at 2.4M, superlinear growth eating the fixed-cost gain) and
+    # low 362.5 s → eff 0.787 steal-inflated / ~0.77 adjusted, no
+    # better than 2.4M's 0.781-0.795, while costing +60% pair
+    # wall-clock. 2.4M is the operating point where queries + two
+    # full pairs + both e2e phases fit the 2150 s budget; the
+    # remaining gap to the ~0.85 asymptote is the measured serial
+    # fraction at 74-s cycles, not input-size-recoverable. At the
+    # north rule's 10^10-URL scale a cycle is hours and that fixed
+    # fraction vanishes.
+    n_hosts = int(os.environ.get("BENCH_HOSTS", "120000"))
     pages = int(os.environ.get("BENCH_PAGES", "20"))
     # Point scratch (snapshot parquet, shuffle/spill, temp dirs) at
     # tmpfs when available — see scratch_dir() for why. Set before the
@@ -639,16 +640,16 @@ def run_phase(phase: str) -> dict:
     raise ValueError(phase)
 
 
-# Conservative per-phase wall-clock estimates (sec), scaled 1.5× for
-# the 180k-host input from the round-5 2.4M-URL full runs on this
-# host (low ~230-430 s cycle + ~45 s warm-up/JVM, high 2 × ~74-140 s
-# + ~40 s), e2e 90 s, plugins ~140-215 s, queries ~140-220 s. A
+# Conservative per-phase wall-clock estimates (sec), from the r03
+# official record + the round-5 full runs on this host: low window
+# ~230-430 s cycle + ~45 s warm-up/JVM, high 2 × ~74-140 s + ~40 s,
+# e2e 90 s, plugins ~140-215 s, queries ~140-220 s + startup. A
 # phase is attempted only if the remaining budget covers its
 # estimate; its subprocess timeout is the remaining budget (less a
 # flush margin), so one stuck phase can't eat the whole run.
-_EST = {"low": 620, "high": 420, "e2e": 180, "e2e_plugins": 280,
+_EST = {"low": 440, "high": 300, "e2e": 180, "e2e_plugins": 280,
         "queries": 340}
-_EST_HIGH_1C = 280  # high window when budget-degraded to one cycle
+_EST_HIGH_1C = 190  # high window when budget-degraded to one cycle
 
 
 def _measure_pair(deadline: float, high_cycles: int = 2) -> dict:
